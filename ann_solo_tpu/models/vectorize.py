@@ -1,0 +1,140 @@
+"""Feature-hashed spectrum vectorization as jitted JAX ops.
+
+Reference: ann_solo/spectrum.py:122-214 (`get_dim`, `hash_idx`,
+`spectrum_to_vector`).  The reference hashes each peak's mass-bin index
+string through MurmurHash3 per peak per spectrum; here the bin->bucket map
+is precomputed once on the host as a lookup table (`ops.murmur.hash_bin_table`)
+and vectorization becomes a gather + scatter-add over a padded peak block --
+one fused XLA computation for a whole batch.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ann_solo_tpu.ops.murmur import hash_bin_table
+
+
+@functools.lru_cache(maxsize=None)
+def get_dim(
+    min_mz: float, max_mz: float, bin_size: float
+) -> Tuple[int, float, float]:
+    """Number of mass bins and the true (start, end) mass-range boundaries.
+
+    Bit-identical to the reference `get_dim` (ann_solo/spectrum.py:122-143):
+    boundaries snap to multiples of `bin_size` in float64.
+    """
+    min_mz, max_mz = float(min_mz), float(max_mz)
+    start_dim = min_mz - min_mz % bin_size
+    end_dim = max_mz + bin_size - max_mz % bin_size
+    return round((end_dim - start_dim) / bin_size), start_dim, end_dim
+
+
+class VectorizeParams(NamedTuple):
+    """Static vectorization hyperparameters."""
+
+    min_mz: float = 11.0
+    max_mz: float = 2010.0
+    bin_size: float = 0.04
+    hash_len: int = 800
+
+    @classmethod
+    def from_config(cls, config) -> "VectorizeParams":
+        return cls(
+            min_mz=float(config.min_mz),
+            max_mz=float(config.max_mz),
+            bin_size=float(config.bin_size),
+            hash_len=int(config.hash_len),
+        )
+
+    @property
+    def n_bins(self) -> int:
+        return get_dim(self.min_mz, self.max_mz, self.bin_size)[0]
+
+    @property
+    def min_bound(self) -> float:
+        return get_dim(self.min_mz, self.max_mz, self.bin_size)[1]
+
+    def bin_to_hash(self) -> np.ndarray:
+        """Host-side (n_bins,) int32 table: mass bin -> hashed bucket."""
+        return hash_bin_table(self.n_bins, self.hash_len, seed=42)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def vectorize_batch(
+    params: VectorizeParams,
+    bin_to_hash: jnp.ndarray,
+    mz: jnp.ndarray,
+    intensity: jnp.ndarray,
+    n_peaks: jnp.ndarray,
+    norm: bool = True,
+) -> jnp.ndarray:
+    """Convert a padded peak block to hashed, L2-normalized dense vectors.
+
+    Parameters
+    ----------
+    params : VectorizeParams
+        Static hyperparameters (bin size, hash length, mass range).
+    bin_to_hash : jnp.ndarray
+        (n_bins,) int32 lookup table from `VectorizeParams.bin_to_hash()`.
+    mz, intensity : jnp.ndarray
+        (B, K) padded peak arrays (invalid lanes must have intensity 0).
+    n_peaks : jnp.ndarray
+        (B,) per-row valid peak counts.
+
+    Returns
+    -------
+    jnp.ndarray
+        (B, hash_len) float32 unit-norm vectors.
+    """
+    b, k = mz.shape
+    lane = jnp.arange(k, dtype=jnp.int32)[None, :]
+    valid = lane < n_peaks[:, None]
+    # Reference: bin_idx = floor((mz - min_bound) // bin_size)
+    # (spectrum.py:207).  Floor-div == div+floor for positive operands.
+    bin_idx = jnp.floor(
+        (mz - jnp.float32(params.min_bound)) / jnp.float32(params.bin_size)
+    ).astype(jnp.int32)
+    in_range = valid & (bin_idx >= 0) & (bin_idx < params.n_bins)
+    bucket = bin_to_hash[jnp.clip(bin_idx, 0, params.n_bins - 1)]
+    weight = jnp.where(in_range, intensity, 0.0)
+    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, k))
+    vectors = jnp.zeros((b, params.hash_len), jnp.float32)
+    vectors = vectors.at[rows, bucket].add(weight)
+    if norm:
+        norms = jnp.sqrt(jnp.sum(vectors * vectors, axis=1, keepdims=True))
+        vectors = vectors / jnp.maximum(norms, jnp.float32(1e-30))
+    return vectors
+
+
+def vectorize_oracle(
+    params: VectorizeParams,
+    mz: np.ndarray,
+    intensity: np.ndarray,
+    norm: bool = True,
+) -> np.ndarray:
+    """Scalar NumPy oracle mirroring the reference `spectrum_to_vector`.
+
+    Computes bin indices in float64 exactly as the reference does
+    (spectrum.py:198-214); used for parity tests of the jitted path.
+    """
+    n_bins, min_bound, _ = get_dim(
+        params.min_mz, params.max_mz, params.bin_size
+    )
+    table = params.bin_to_hash()
+    vector = np.zeros(params.hash_len, np.float32)
+    for m, i in zip(np.asarray(mz, np.float64),
+                    np.asarray(intensity, np.float64)):
+        bin_idx = int(math.floor((m - min_bound) // params.bin_size))
+        if 0 <= bin_idx < n_bins:
+            vector[table[bin_idx]] += i
+    if norm:
+        vector /= np.linalg.norm(vector)
+    return vector

@@ -1,0 +1,65 @@
+"""Vectorization parity tests (jitted path vs reference-faithful oracle)."""
+
+import numpy as np
+
+from ann_solo_tpu.models.vectorize import (
+    VectorizeParams,
+    get_dim,
+    vectorize_batch,
+    vectorize_oracle,
+)
+
+
+def test_get_dim_reference_semantics():
+    # Reference get_dim snaps boundaries to bin_size multiples
+    # (ann_solo/spectrum.py:122-143).
+    n_bins, start, end = get_dim(101.0, 1994.0, 1.0005079)
+    assert start <= 101.0 < start + 1.0005079
+    assert end >= 1994.0
+    assert n_bins == round((end - start) / 1.0005079)
+    # Default operating point.
+    n_bins, start, end = get_dim(11.0, 2010.0, 0.04)
+    assert abs(start - 11.0) < 0.04 and abs(end - 2010.04) < 0.08
+    assert n_bins in (49975, 49976)
+
+
+def test_batch_matches_oracle():
+    params = VectorizeParams(11.0, 2010.0, 0.04, 800)
+    rng = np.random.default_rng(3)
+    b, k = 5, 50
+    mz = np.sort(rng.uniform(50.0, 1800.0, (b, k)).astype(np.float32), axis=1)
+    intensity = rng.uniform(0.1, 1.0, (b, k)).astype(np.float32)
+    n_peaks = np.asarray([50, 30, 10, 50, 1], np.int32)
+    for i in range(b):
+        intensity[i, n_peaks[i]:] = 0.0
+        mz[i, n_peaks[i]:] = 0.0
+    table = params.bin_to_hash()
+    vectors = np.asarray(
+        vectorize_batch(params, table, mz, intensity, n_peaks)
+    )
+    for i in range(b):
+        expected = vectorize_oracle(
+            params, mz[i, : n_peaks[i]], intensity[i, : n_peaks[i]]
+        )
+        np.testing.assert_allclose(vectors[i], expected, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(vectors[i]), 1.0, rtol=1e-5)
+
+
+def test_hash_collisions_accumulate():
+    # Two peaks hashing to the same bucket must sum their intensities.
+    params = VectorizeParams(0.0, 100.0, 1.0, 4)
+    table = params.bin_to_hash()
+    # Find two bins mapping to the same bucket.
+    bucket_of = {b: [] for b in range(4)}
+    for bin_idx, bucket in enumerate(table[:50]):
+        bucket_of[int(bucket)].append(bin_idx)
+    bins = next(v for v in bucket_of.values() if len(v) >= 2)[:2]
+    mz = np.asarray([[bins[0] + 0.5, bins[1] + 0.5]], np.float32)
+    intensity = np.asarray([[0.6, 0.8]], np.float32)
+    vec = np.asarray(
+        vectorize_batch(
+            params, table, mz, intensity, np.asarray([2], np.int32),
+            norm=False,
+        )
+    )
+    assert vec[0, int(table[bins[0]])] == np.float32(0.6 + 0.8)
