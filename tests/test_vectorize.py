@@ -62,4 +62,6 @@ def test_hash_collisions_accumulate():
             norm=False,
         )
     )
-    assert vec[0, int(table[bins[0]])] == np.float32(0.6 + 0.8)
+    np.testing.assert_allclose(
+        vec[0, int(table[bins[0]])], 0.6 + 0.8, rtol=1e-6
+    )
