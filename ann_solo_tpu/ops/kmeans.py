@@ -1,0 +1,102 @@
+"""On-device spherical k-means for IVF coarse quantizer training.
+
+Replaces FAISS's CPU/GPU k-means (`IndexIVFFlat.train`,
+reference spectral_library.py:174-179).  Vectors are unit-norm (hashed
+spectra), so inner-product assignment == L2 assignment; centroids are
+re-normalized every iteration (spherical k-means), keeping the train-time
+metric identical to the search-time IP quantizer.
+
+The update step is a segment-sum over assignments and the whole training
+loop is one `lax.fori_loop` under jit; assignment runs as blocked MXU
+matmuls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BLOCK = 4096
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _kmeans_fit(
+    vectors_padded: jnp.ndarray,  # (N_pad, D) unit-norm, zero rows padded
+    init_centroids: jnp.ndarray,  # (L, D)
+    n_iter: int,
+):
+    n_pad, d = vectors_padded.shape
+    l = init_centroids.shape[0]
+    n_blocks = n_pad // _BLOCK
+
+    def assign(centroids):
+        def body(i, acc):
+            start = i * _BLOCK
+            chunk = jax.lax.dynamic_slice(
+                vectors_padded, (start, 0), (_BLOCK, d)
+            )
+            scores = jnp.dot(
+                chunk, centroids.T, preferred_element_type=jnp.float32
+            )
+            ids = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            return jax.lax.dynamic_update_slice(acc, ids, (start,))
+
+        return jax.lax.fori_loop(
+            0, n_blocks, body, jnp.zeros(n_pad, jnp.int32)
+        )
+
+    def step(_, centroids):
+        ids = assign(centroids)
+        # Zero-padded rows contribute zero vectors; subtract their count
+        # effect by weighting with the row norm (1 for real, 0 for pad).
+        weights = (
+            jnp.sum(vectors_padded * vectors_padded, axis=1) > 0
+        ).astype(jnp.float32)
+        sums = jax.ops.segment_sum(
+            vectors_padded * weights[:, None], ids, num_segments=l
+        )
+        counts = jax.ops.segment_sum(
+            weights[:, None], ids, num_segments=l
+        )
+        new_centroids = sums / jnp.maximum(counts, 1.0)
+        # Keep previous centroid for empty clusters.
+        new_centroids = jnp.where(counts > 0, new_centroids, centroids)
+        norms = jnp.linalg.norm(new_centroids, axis=1, keepdims=True)
+        return new_centroids / jnp.maximum(norms, 1e-30)
+
+    centroids = jax.lax.fori_loop(0, n_iter, step, init_centroids)
+    return centroids, assign(centroids)
+
+
+def spherical_kmeans(
+    vectors: np.ndarray,
+    n_clusters: int,
+    n_iter: int = 25,
+    seed: int = 42,
+):
+    """Train spherical k-means; returns (centroids (L, D), assignments (N,)).
+
+    Initialization samples distinct vectors (FAISS-style random init).
+    """
+    vectors = np.asarray(vectors, np.float32)
+    n, d = vectors.shape
+    rng = np.random.RandomState(seed)
+    init_idx = rng.choice(n, size=min(n_clusters, n), replace=False)
+    init = vectors[init_idx].copy()
+    if len(init) < n_clusters:
+        # Fewer vectors than clusters: tile with small jitter.
+        reps = -(-n_clusters // len(init))
+        init = np.tile(init, (reps, 1))[:n_clusters]
+        init = init + rng.normal(0, 1e-4, init.shape).astype(np.float32)
+    init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-30)
+
+    n_pad = max(_BLOCK, -(-n // _BLOCK) * _BLOCK)
+    padded = np.zeros((n_pad, d), np.float32)
+    padded[:n] = vectors
+    centroids, assignments = _kmeans_fit(
+        jnp.asarray(padded), jnp.asarray(init), n_iter
+    )
+    return np.asarray(centroids), np.asarray(assignments)[:n]

@@ -1,0 +1,479 @@
+"""Spectral library search engine (reference: ann_solo/spectral_library.py).
+
+TPU-native redesign of the cascade search runtime:
+
+* The library lives on device as dense per-charge peak blocks sorted by
+  precursor m/z.  The reference's numexpr precursor-window filter over a
+  dense (batch x n_library) boolean matrix (spectral_library.py:417-429)
+  becomes two `searchsorted` calls per query -- candidates are a contiguous
+  row range, no mask materialization.
+* Candidate rescoring runs the batched shifted-dot kernel over fixed-size
+  (query, candidate) pair chunks; best match per query via segment-max.
+* In 'ann' mode, open-search candidates are additionally filtered to the
+  top `num_candidates` neighbors from the TPU IVF index
+  (spectral_library.py:431-446).
+* Queries with unknown precursor charge are duplicated for charges 2 and 3
+  and deduplicated by best score (spectral_library.py:217-223,309-316).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ann_solo_tpu.config import config
+from ann_solo_tpu import fdr
+from ann_solo_tpu.io import reader
+from ann_solo_tpu.io.store import (
+    ChargeBlock,
+    SpectralLibraryStore,
+    hyperparameter_hash,
+    open_or_build_store,
+)
+from ann_solo_tpu.models.preprocess import (
+    PreprocessParams,
+    ProcessedBatch,
+    preprocess_batch,
+)
+from ann_solo_tpu.models.spectrum import (
+    Spectrum,
+    SpectrumSpectrumMatch,
+    pack_spectra,
+)
+from ann_solo_tpu.ops.shifted_dot import (
+    shifted_dot_best_match,
+    shifted_dot_scores,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class _ChargeLibrary:
+    """Per-charge library arrays sorted by precursor m/z (device-ready)."""
+
+    def __init__(self, block: ChargeBlock):
+        order = np.argsort(block.precursor_mz, kind="stable")
+        # Drop library spectra that failed preprocessing quality gates: the
+        # reference skips them at candidate-read time
+        # (spectral_library.py:452-454).
+        order = order[block.proc_is_valid[order]]
+        self.rows = block.rows[order]  # global store rows
+        self.precursor_mz = block.precursor_mz[order].astype(np.float64)
+        self.mz = block.proc_mz[order]
+        self.intensity = block.proc_intensity[order]
+        self.ann_charge = block.proc_ann_charge[order].astype(np.int32)
+        self.n_peaks = block.proc_n_peaks[order]
+
+    @property
+    def n_spectra(self) -> int:
+        return len(self.rows)
+
+
+def precursor_window_bounds(
+    query_mz: np.ndarray,
+    charge: int,
+    library_mz_sorted: np.ndarray,
+    tol_val: float,
+    tol_mode: str,
+):
+    """Candidate row ranges for a precursor tolerance window.
+
+    Da mode matches the reference's |q - l| * charge <= tol; ppm mode
+    |q - l| / l * 1e6 <= tol (spectral_library.py:421-427).  Returns
+    (lo, hi) index arrays into the m/z-sorted library.
+    """
+    query_mz = np.asarray(query_mz, np.float64)
+    if tol_mode == "Da":
+        delta = tol_val / charge
+        lo = np.searchsorted(library_mz_sorted, query_mz - delta, "left")
+        hi = np.searchsorted(library_mz_sorted, query_mz + delta, "right")
+    elif tol_mode == "ppm":
+        # |q - l| <= tol * l / 1e6  <=>  l >= q / (1 + tol/1e6) and
+        # l <= q / (1 - tol/1e6).
+        scale = tol_val / 10**6
+        lo = np.searchsorted(
+            library_mz_sorted, query_mz / (1.0 + scale), "left"
+        )
+        hi = np.searchsorted(
+            library_mz_sorted, query_mz / (1.0 - scale), "right"
+        )
+    else:
+        raise ValueError("Unknown precursor tolerance mode")
+    return lo.astype(np.int64), hi.astype(np.int64)
+
+
+class SpectralLibrary:
+    """Spectral library search engine
+    (reference spectral_library.py:27-500)."""
+
+    def __init__(self, filename: str) -> None:
+        self._filename = filename
+        self._lib_params = PreprocessParams.from_config(
+            config, is_library=True
+        )
+        self._query_params = PreprocessParams.from_config(
+            config, is_library=False
+        )
+        try:
+            self._store: SpectralLibraryStore = open_or_build_store(
+                filename, config, self._lib_params
+            )
+        except FileNotFoundError as e:
+            logger.error(e)
+            raise
+        self._charge_libs: Dict[int, _ChargeLibrary] = {}
+        self._ann_indexes: Dict[int, object] = {}
+        self._num_candidates = int(config.num_candidates)
+        self._pair_batch = int(config.rescore_pair_batch)
+        if config.mode == "ann":
+            self._prepare_ann_indexes()
+
+    # ------------------------------------------------------------------ #
+    # Library access
+
+    def _get_charge_lib(self, charge: int) -> Optional[_ChargeLibrary]:
+        if charge not in self._charge_libs:
+            block = self._store.charge_block(charge)
+            self._charge_libs[charge] = (
+                _ChargeLibrary(block) if block is not None else None
+            )
+        return self._charge_libs[charge]
+
+    def _prepare_ann_indexes(self) -> None:
+        """Build/load per-charge IVF indexes for charges with enough
+        spectra (reference spectral_library.py:91-116)."""
+        from ann_solo_tpu.index.ivf import IvfIndex, ivf_index_filename
+
+        config_hash = hyperparameter_hash(config)
+        for charge in self._store.charges():
+            lib = self._get_charge_lib(charge)
+            if lib is None or lib.n_spectra < int(config.num_list):
+                continue
+            filename = ivf_index_filename(
+                self._filename, config_hash, charge
+            )
+            self._ann_indexes[charge] = IvfIndex.load_or_build(
+                filename, lib, config
+            )
+
+    def shutdown(self) -> None:
+        self._charge_libs.clear()
+        self._ann_indexes.clear()
+
+    # ------------------------------------------------------------------ #
+    # Search
+
+    def search(self, query_filename: str) -> List[SpectrumSpectrumMatch]:
+        """Identify all query spectra
+        (reference spectral_library.py:193-260)."""
+        logger.info("Process file %s", query_filename)
+        query_spectra = self._read_and_process_queries(query_filename)
+
+        identifications: Dict[str, SpectrumSpectrumMatch] = {}
+        do_cascade_open = (
+            config.precursor_tolerance_mass_open is not None
+            and config.precursor_tolerance_mode_open is not None
+        )
+        n_identified = 0
+        for ssm in self._search_cascade(query_spectra, "std"):
+            if not do_cascade_open or ssm.q < config.fdr:
+                identifications[ssm.query_identifier] = ssm
+                n_identified += ssm.q < config.fdr
+        logger.info(
+            "%d spectra identified after the standard search", n_identified
+        )
+        if do_cascade_open:
+            for charge in list(query_spectra):
+                query_spectra[charge] = [
+                    s for s in query_spectra[charge]
+                    if s.identifier not in identifications
+                ]
+            for ssm in self._search_cascade(query_spectra, "open"):
+                identifications[ssm.query_identifier] = ssm
+                n_identified += ssm.q < config.fdr
+            logger.info(
+                "%d spectra identified after the open search", n_identified
+            )
+        return list(identifications.values())
+
+    def _read_and_process_queries(
+        self, query_filename: str
+    ) -> Dict[int, List[Spectrum]]:
+        """Read query spectra, expand unknown charges, group by charge."""
+        raw: List[Spectrum] = []
+        for query_spectrum in reader.read_query_file(query_filename):
+            if query_spectrum.precursor_charge is not None:
+                raw.append(query_spectrum)
+            else:
+                for charge in (2, 3):
+                    copy = Spectrum(
+                        identifier=query_spectrum.identifier,
+                        precursor_mz=query_spectrum.precursor_mz,
+                        precursor_charge=charge,
+                        mz=query_spectrum.mz,
+                        intensity=query_spectrum.intensity,
+                        retention_time=query_spectrum.retention_time,
+                        index=query_spectrum.index,
+                    )
+                    raw.append(copy)
+        query_spectra: Dict[int, List[Spectrum]] = {}
+        # Preprocess on device in padded batches; keep valid spectra only.
+        batch_size = 8192
+        for start in range(0, len(raw), batch_size):
+            chunk = raw[start : start + batch_size]
+            packed = pack_spectra(chunk, pad_multiple=512)
+            processed = preprocess_batch(
+                self._query_params, packed.mz, packed.intensity,
+                packed.ann_charge, packed.n_peaks, packed.precursor_mz,
+                packed.precursor_charge,
+            ).to_numpy()
+            for i, spectrum in enumerate(chunk):
+                if not processed.is_valid[i]:
+                    continue
+                n = int(processed.n_peaks[i])
+                spectrum.mz = processed.mz[i, :n].astype(np.float64)
+                spectrum.intensity = processed.intensity[i, :n].astype(
+                    np.float64
+                )
+                spectrum.ann_type = None
+                spectrum.ann_index = None
+                spectrum.ann_charge = None
+                query_spectra.setdefault(
+                    spectrum.precursor_charge, []
+                ).append(spectrum)
+        return query_spectra
+
+    def _search_cascade(
+        self, query_spectra: Dict[int, List[Spectrum]], mode: str
+    ) -> List[SpectrumSpectrumMatch]:
+        """One cascade level (reference spectral_library.py:262-326)."""
+        num_spectra = sum(len(q) for q in query_spectra.values())
+        if mode == "std":
+            logger.debug(
+                "Process %d query spectra using a standard search "
+                "(Δm = %s %s)", num_spectra,
+                config.precursor_tolerance_mass,
+                config.precursor_tolerance_mode,
+            )
+        else:
+            logger.debug(
+                "Process %d query spectra using an open search "
+                "(Δm = %s %s)", num_spectra,
+                config.precursor_tolerance_mass_open,
+                config.precursor_tolerance_mode_open,
+            )
+        ssms: Dict[str, SpectrumSpectrumMatch] = {}
+        batch_size = int(config.batch_size)
+        for charge, spectra in query_spectra.items():
+            for start in range(0, len(spectra), batch_size):
+                batch = spectra[start : start + batch_size]
+                for ssm in self._search_batch(batch, charge, mode):
+                    if ssm is None:
+                        continue
+                    previous = ssms.get(ssm.query_identifier)
+                    if (
+                        previous is None
+                        or ssm.search_engine_score
+                        > previous.search_engine_score
+                    ):
+                        ssms[ssm.query_identifier] = ssm
+        logger.info(
+            "Filter the spectrum-spectrum matches on FDR (threshold = %s)",
+            config.fdr,
+        )
+        return fdr.score_ssms(
+            list(ssms.values()),
+            config.fdr,
+            config.model if config.model != "none" else None,
+            mode == "open",
+            int(config.fdr_min_group_size),
+            config,
+        )
+
+    def _search_batch(
+        self, batch: List[Spectrum], charge: int, mode: str
+    ) -> Iterator[Optional[SpectrumSpectrumMatch]]:
+        """Match one charge-homogeneous batch of query spectra
+        (reference spectral_library.py:328-455)."""
+        lib = self._get_charge_lib(charge)
+        if lib is None or lib.n_spectra == 0:
+            return
+        if mode == "std":
+            tol_val = float(config.precursor_tolerance_mass)
+            tol_mode = str(config.precursor_tolerance_mode)
+        elif mode == "open":
+            tol_val = float(config.precursor_tolerance_mass_open)
+            tol_mode = str(config.precursor_tolerance_mode_open)
+        else:
+            raise ValueError("Unknown search mode")
+
+        b = len(batch)
+        k = self._query_params.max_peaks_used
+        q_mz = np.zeros((b, k), np.float32)
+        q_int = np.zeros((b, k), np.float32)
+        q_prec = np.zeros(b, np.float64)
+        for i, s in enumerate(batch):
+            n = min(s.n_peaks, k)
+            q_mz[i, :n] = s.mz[:n]
+            q_int[i, :n] = s.intensity[:n]
+            q_prec[i] = s.precursor_mz
+
+        # First filter: precursor m/z window as sorted-row ranges.
+        lo, hi = precursor_window_bounds(
+            q_prec, charge, lib.precursor_mz, tol_val, tol_mode
+        )
+
+        # Second filter: ANN neighbors (open mode only,
+        # spectral_library.py:431-446).
+        if (
+            config.mode == "ann"
+            and mode == "open"
+            and charge in self._ann_indexes
+        ):
+            pair_q, pair_c = self._ann_candidate_pairs(
+                batch, q_mz, q_int, lib, lo, hi, charge
+            )
+        else:
+            counts = (hi - lo).astype(np.int64)
+            pair_q = np.repeat(np.arange(b, dtype=np.int64), counts)
+            pair_c = (
+                np.concatenate(
+                    [np.arange(l, h, dtype=np.int64)
+                     for l, h in zip(lo, hi)]
+                )
+                if counts.sum() > 0
+                else np.zeros(0, np.int64)
+            )
+
+        num_candidates_per_query = np.bincount(pair_q, minlength=b)
+        best_idx, best_score = self._rescore_pairs(
+            q_mz, q_int, q_prec, lib, pair_q, pair_c, charge
+        )
+
+        # Recompute peak matches for the best pairs only.
+        has_match = best_idx >= 0
+        match_rows = np.nonzero(has_match)[0]
+        matches_by_row = self._best_pair_matches(
+            q_mz, q_int, q_prec, lib, match_rows,
+            best_idx[match_rows], charge,
+        )
+        for i, query in enumerate(batch):
+            if not has_match[i]:
+                yield None
+                continue
+            library_spectrum = self._store.get_spectrum(
+                int(lib.rows[best_idx[i]]), processed=True
+            )
+            yield SpectrumSpectrumMatch(
+                query,
+                library_spectrum,
+                peak_matches=matches_by_row[i],
+                search_engine_score=float(best_score[i]),
+                num_candidates=int(num_candidates_per_query[i]),
+            )
+
+    def _ann_candidate_pairs(
+        self, batch, q_mz, q_int, lib, lo, hi, charge
+    ):
+        """Intersect ANN neighbors with the precursor window."""
+        from ann_solo_tpu.models.vectorize import (
+            VectorizeParams,
+            vectorize_batch,
+        )
+
+        vparams = VectorizeParams.from_config(config)
+        n_peaks = np.asarray(
+            [min(s.n_peaks, q_mz.shape[1]) for s in batch], np.int32
+        )
+        vectors = np.asarray(
+            vectorize_batch(
+                vparams,
+                vparams.bin_to_hash(),
+                q_mz,
+                q_int,
+                n_peaks,
+            )
+        )
+        index = self._ann_indexes[charge]
+        neighbors = index.search(vectors, self._num_candidates)  # (B, C)
+        b, c = neighbors.shape
+        pair_q = np.repeat(np.arange(b, dtype=np.int64), c)
+        pair_c = neighbors.reshape(-1).astype(np.int64)
+        keep = (
+            (pair_c >= 0)
+            & (pair_c >= lo[pair_q])
+            & (pair_c < hi[pair_q])
+        )
+        return pair_q[keep], pair_c[keep]
+
+    def _rescore_pairs(
+        self, q_mz, q_int, q_prec, lib, pair_q, pair_c, charge
+    ):
+        """Exact shifted-dot rescoring over pair chunks; best per query."""
+        b = q_mz.shape[0]
+        best_score = np.full(b, -np.inf, np.float64)
+        best_idx = np.full(b, -1, np.int64)
+        chunk = self._pair_batch
+        allow_shift = bool(config.allow_peak_shifts)
+        num_shifts = charge + 1 if allow_shift else 1
+        frag_tol = float(config.fragment_mz_tolerance)
+        charges = np.full(chunk, charge, np.int32)
+        for start in range(0, len(pair_q), chunk):
+            pq = pair_q[start : start + chunk]
+            pc = pair_c[start : start + chunk]
+            n = len(pq)
+            if n < chunk:  # pad the tail chunk to the fixed shape
+                pad = chunk - n
+                pq = np.concatenate([pq, np.zeros(pad, np.int64)])
+                pc = np.concatenate([pc, np.zeros(pad, np.int64)])
+            valid = np.zeros(chunk, bool)
+            valid[:n] = True
+            scores = np.asarray(
+                shifted_dot_scores(
+                    q_mz[pq], q_int[pq],
+                    lib.mz[pc], lib.intensity[pc], lib.ann_charge[pc],
+                    q_prec[pq].astype(np.float32),
+                    lib.precursor_mz[pc].astype(np.float32),
+                    charges, valid, frag_tol, num_shifts, allow_shift,
+                )
+            )[:n]
+            pq = pair_q[start : start + chunk]
+            pc = pair_c[start : start + chunk]
+            # Segment-max per query: grouped max, then first argmax winner.
+            np.maximum.at(best_score, pq, scores)
+            newly_best = scores >= best_score[pq]
+            # Ascending-score order so the final write per query is its max.
+            order = np.argsort(scores[newly_best], kind="stable")
+            best_idx[pq[newly_best][order]] = pc[newly_best][order]
+        return best_idx, best_score
+
+    def _best_pair_matches(
+        self, q_mz, q_int, q_prec, lib, rows, cand_idx, charge
+    ):
+        """Peak matches for the best (query, candidate) pairs."""
+        matches_by_row: Dict[int, np.ndarray] = {}
+        allow_shift = bool(config.allow_peak_shifts)
+        num_shifts = charge + 1 if allow_shift else 1
+        frag_tol = float(config.fragment_mz_tolerance)
+        chunk = 4096
+        for start in range(0, len(rows), chunk):
+            r = rows[start : start + chunk]
+            c = cand_idx[start : start + chunk]
+            charges = np.full(len(r), charge, np.int32)
+            _, match_q, match_c = shifted_dot_best_match(
+                q_mz[r], q_int[r],
+                lib.mz[c], lib.intensity[c], lib.ann_charge[c],
+                q_prec[r].astype(np.float32),
+                lib.precursor_mz[c].astype(np.float32),
+                charges, frag_tol, num_shifts, allow_shift,
+            )
+            match_q = np.asarray(match_q)
+            match_c = np.asarray(match_c)
+            for j, row in enumerate(r):
+                sel = match_q[j] >= 0
+                matches_by_row[int(row)] = np.column_stack(
+                    [match_q[j][sel], match_c[j][sel]]
+                )
+        return matches_by_row
