@@ -37,8 +37,9 @@ from ann_solo_tpu.ops.kmeans import spherical_kmeans
 
 logger = logging.getLogger(__name__)
 
-_TILE_Q = 256  # queries per search tile
+_TILE_Q = 128  # queries per search tile
 _LIST_CHUNK = 8  # lists scanned per inner step
+_TILE_LIST_SLACK = 4  # tile scans up to slack * num_probe voted lists
 
 
 def ivf_index_filename(
@@ -251,7 +252,14 @@ class IvfIndex:
         top1 = np.argmax(queries @ self.centroids.T, axis=1)
         order = np.argsort(top1, kind="stable")
         n_lists = self.padded_vectors.shape[0]
-        tile_lists = min(n_lists, max(2 * num_probe, num_probe + 8))
+        # Budget of lists scanned per tile: covers the tile's probe union
+        # in the sparse-probe regime; degrades to a full (masked) scan when
+        # num_probe is a large fraction of num_list, where a full MXU scan
+        # is the faster plan anyway.
+        tile_lists = min(
+            n_lists,
+            max(_TILE_LIST_SLACK * num_probe, num_probe + 8),
+        )
         out = np.full((b, k), -1, np.int32)
         for start in range(0, b, _TILE_Q):
             rows = order[start : start + _TILE_Q]

@@ -108,7 +108,7 @@ class Proteoform:
 
 
 def _fmt_mod(mass: float) -> str:
-    return f"{mass:+g}" if mass < 0 else f"+{mass:g}"
+    return f"{mass:+.9g}"
 
 
 _MOD_TOKEN = re.compile(r"\[([^\[\]]*)\]")

@@ -1,0 +1,71 @@
+"""Device-mesh helpers for ICI-sharded library search.
+
+The reference is single-node/single-GPU (SURVEY.md §2.3); the TPU-native
+scale axis is *library sharding*: IVF lists / library rows sharded across
+chips over ICI, queries data-parallel, per-shard top-k merged with
+all-gathers.  DCN would only enter for multi-slice 100M+ builds.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Tuple[str, str] = ("dp", "lib"),
+    dp_size: Optional[int] = None,
+) -> Mesh:
+    """Create a (dp, lib) mesh over the first `n_devices` devices.
+
+    `dp` carries data-parallel query batches, `lib` carries library shards.
+    By default dp gets the smaller factor so large libraries get the most
+    shards.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if len(devices) < n_devices:
+        # Fall back to virtual CPU devices
+        # (xla_force_host_platform_device_count) for multi-chip dry runs on
+        # single-chip or chipless hosts.
+        devices = jax.devices("cpu")
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"Requested {n_devices} devices but only {len(devices)} "
+            f"are available"
+        )
+    devices = devices[:n_devices]
+    if dp_size is None:
+        # Largest power-of-two dp that keeps lib >= dp.
+        dp_size = 1
+        while (
+            dp_size * 2 <= n_devices
+            and n_devices % (dp_size * 2) == 0
+            and (n_devices // (dp_size * 2)) >= dp_size * 2
+        ):
+            dp_size *= 2
+    if n_devices % dp_size != 0:
+        raise ValueError(
+            f"dp_size={dp_size} does not divide n_devices={n_devices}"
+        )
+    lib_size = n_devices // dp_size
+    device_array = np.asarray(devices).reshape(dp_size, lib_size)
+    return Mesh(device_array, axis_names)
+
+
+def pad_to_multiple(
+    array: np.ndarray, multiple: int, axis: int = 0, fill=0
+) -> np.ndarray:
+    """Pad `axis` up to a multiple (shard-evenly helper)."""
+    size = array.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return array
+    pad_widths = [(0, 0)] * array.ndim
+    pad_widths[axis] = (0, target - size)
+    return np.pad(array, pad_widths, constant_values=fill)

@@ -14,8 +14,17 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
 import numpy as np
 import pytest
+
+# The axon TPU plugin force-selects the tunneled TPU backend regardless of
+# JAX_PLATFORMS; pin test computation to the virtual CPU devices so the
+# suite is deterministic, fast, and runs without TPU access.
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
 
 
 @pytest.fixture(autouse=True)
