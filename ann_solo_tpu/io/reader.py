@@ -34,9 +34,14 @@ def read_library_file(filename: str, config) -> Iterator[Spectrum]:
     """Read/generate all spectra from a spectral library or FASTA file."""
     ext = os.path.splitext(os.path.basename(filename))[1].lower()
     if ext == ".splib":
-        from ann_solo_tpu.io.splib import read_splib
+        from ann_solo_tpu.io import splib_native
 
-        yield from read_splib(filename)
+        if splib_native.available():
+            yield from splib_native.read_splib_native(filename)
+        else:
+            from ann_solo_tpu.io.splib import read_splib
+
+            yield from read_splib(filename)
     elif ext == ".sptxt":
         from ann_solo_tpu.io.splib import read_sptxt
 
