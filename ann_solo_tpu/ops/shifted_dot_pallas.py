@@ -1,0 +1,266 @@
+"""Pallas TPU kernel for shifted-dot-product rescoring.
+
+The fused fast path for `ops.shifted_dot`: per grid cell, a block of
+(query, candidate) pairs builds its flattened (K*K) match-score matrices
+directly in VMEM scratch (per-shift tolerance windows + annotation
+multipliers, max over shifts) and runs the greedy one-to-one assignment as
+an iterative masked argmax -- no HBM round-trip for score matrices and no
+full sort, which is what the XLA top-k formulation in ops/shifted_dot.py
+pays for.
+
+All tensor shapes inside the kernel are 2D (pairs x lanes) -- Mosaic's
+vector layouts do not support the 3D broadcasts the naive formulation
+would use.  Query-peak rows of the score matrix are produced one at a time
+(fori over K) and stored at lane offset i*K of the scratch block.
+
+Semantics are identical to `greedy_assignment(pair_score_matrix(...))`
+(and therefore to the reference C++ SpectrumMatch.cpp:8-133): tie-breaking
+picks the lowest flat (query_peak, candidate_peak) index.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Pairs processed per grid cell; K is padded to a multiple of 8 lanes.
+PAIR_BLOCK = 128
+
+
+def _kernel(
+    q_mz_ref, q_int_ref, c_mz_ref, c_int_ref, c_ann_ref,
+    q_prec_ref, c_prec_ref, charge_ref,
+    out_ref, scratch_ref,
+    *, fragment_mz_tolerance: float, num_shifts: int, allow_shift: bool,
+):
+    p, k = q_mz_ref.shape
+    tol = jnp.float32(fragment_mz_tolerance)
+    q_mz = q_mz_ref[:]  # (P, K)
+    q_int = q_int_ref[:]
+    c_mz = c_mz_ref[:]
+    c_int = c_int_ref[:]
+    shifted = allow_shift and num_shifts > 1
+    if shifted:
+        charge = charge_ref[:].astype(jnp.float32)  # (P, 1)
+        prec_diff = (q_prec_ref[:] - c_prec_ref[:]) * charge  # (P, 1)
+        shifted_active = jnp.abs(prec_diff) >= tol  # (P, 1)
+        ann = c_ann_ref[:]  # (P, K)
+
+    # Mosaic constraints shape this loop: lane stores must be 128-aligned,
+    # so `rows_per_store` query-peak rows (each k lanes) are built per
+    # iteration; and dynamic lane extraction is done as a one-hot matmul
+    # (MXU) rather than a lane shuffle.
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+
+    def select_col(matrix, i):
+        onehot = (lane_iota == i).astype(jnp.float32)  # (K, 1)
+        return jnp.dot(
+            matrix, onehot, preferred_element_type=jnp.float32
+        )  # (P, 1)
+
+    rows_per_store = max(1, 128 // k)
+    n_stores = k // rows_per_store
+    store_width = rows_per_store * k
+
+    def build_rows(i2, _):
+        parts = []
+        for r in range(rows_per_store):
+            i = i2 * rows_per_store + r
+            q_mz_i = select_col(q_mz, i)  # (P, 1)
+            q_int_i = select_col(q_int, i)
+            diff = q_mz_i - c_mz  # (P, K)
+            best_mult = (jnp.abs(diff) <= tol).astype(jnp.float32)
+            if shifted:
+                for s in range(1, num_shifts):
+                    offset = prec_diff / jnp.float32(s)  # (P, 1)
+                    within = jnp.abs(diff - offset) <= tol
+                    mult = jnp.where(
+                        ann == s, 1.0,
+                        jnp.where(ann == 0, 2.0 / 3.0, 0.0),
+                    )
+                    active = shifted_active & (jnp.float32(s) <= charge)
+                    best_mult = jnp.maximum(
+                        best_mult, jnp.where(within & active, mult, 0.0)
+                    )
+            parts.append(best_mult * q_int_i * c_int)  # (P, K)
+        block = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1
+        )
+        scratch_ref[
+            :, pl.ds(pl.multiple_of(i2 * store_width, store_width),
+                     store_width)
+        ] = block
+        return 0
+
+    jax.lax.fori_loop(0, n_stores, build_rows, 0)
+
+    # Greedy one-to-one assignment: iterative masked argmax over the
+    # flattened (P, K*K) block.  At most K matches exist; blocked entries
+    # are zeroed, so a zero max means done (padded peaks have zero
+    # intensity and never win).
+    kk = k * k
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (p, kk), 1)
+    row_ids = col_ids // k
+    col_mod = col_ids - row_ids * k
+
+    def greedy(_, total):
+        flat = scratch_ref[:]
+        best = jnp.max(flat, axis=1, keepdims=True)  # (P, 1)
+        is_best = flat >= best
+        idx = jnp.min(
+            jnp.where(is_best, col_ids, jnp.int32(kk)),
+            axis=1, keepdims=True,
+        )  # (P, 1)
+        take = best > 0.0
+        total = total + jnp.where(take, best, 0.0)
+        row = idx // k
+        col = idx - row * k
+        blocked = (row_ids == row) | (col_mod == col)
+        scratch_ref[:] = jnp.where(blocked & take, 0.0, flat)
+        return total
+
+    total = jax.lax.fori_loop(
+        0, k, greedy, jnp.zeros((p, 1), jnp.float32)
+    )
+    out_ref[:] = total
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def shifted_dot_scores_pallas(
+    q_mz, q_int, c_mz, c_int, c_ann,
+    q_prec_mz, c_prec_mz, charge,
+    fragment_mz_tolerance: float,
+    num_shifts: int,
+    allow_shift: bool,
+    interpret: bool = False,
+):
+    """Batched pair scores via the Pallas kernel ((P,) float32).
+
+    P must be a multiple of PAIR_BLOCK (pad and mask at the call site);
+    the peak axis is padded to a multiple of 8 internally.
+    """
+    p, k = q_mz.shape
+    assert p % PAIR_BLOCK == 0, f"pad pairs to {PAIR_BLOCK}"
+    # Peak axis padded to a power of two so stores of whole rows align to
+    # 128 lanes; >128 peaks falls back to the XLA path (see _auto below).
+    k_pad = 8
+    while k_pad < k:
+        k_pad *= 2
+    assert k_pad <= 128, "Pallas kernel supports at most 128 peaks"
+    if k_pad != k:
+        pad = [(0, 0), (0, k_pad - k)]
+        q_mz = jnp.pad(q_mz, pad)
+        q_int = jnp.pad(q_int, pad)
+        c_mz = jnp.pad(c_mz, pad)
+        c_int = jnp.pad(c_int, pad)
+        c_ann = jnp.pad(c_ann, pad, constant_values=-1)
+
+    kernel = functools.partial(
+        _kernel,
+        fragment_mz_tolerance=float(fragment_mz_tolerance),
+        num_shifts=int(num_shifts),
+        allow_shift=bool(allow_shift),
+    )
+    grid = (p // PAIR_BLOCK,)
+
+    def block2(i):
+        return (i, 0)
+
+    peaks_spec = pl.BlockSpec(
+        (PAIR_BLOCK, k_pad), block2, memory_space=pltpu.VMEM
+    )
+    scalar_spec = pl.BlockSpec(
+        (PAIR_BLOCK, 1), block2, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            peaks_spec, peaks_spec, peaks_spec, peaks_spec, peaks_spec,
+            scalar_spec, scalar_spec, scalar_spec,
+        ],
+        out_specs=scalar_spec,
+        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((PAIR_BLOCK, k_pad * k_pad), jnp.float32)
+        ],
+        interpret=interpret,
+    )(
+        q_mz.astype(jnp.float32),
+        q_int.astype(jnp.float32),
+        c_mz.astype(jnp.float32),
+        c_int.astype(jnp.float32),
+        c_ann.astype(jnp.int32),
+        q_prec_mz.astype(jnp.float32).reshape(p, 1),
+        c_prec_mz.astype(jnp.float32).reshape(p, 1),
+        charge.astype(jnp.int32).reshape(p, 1),
+    )
+    return out[:, 0]
+
+
+def use_pallas_default() -> bool:
+    """Whether the compiled Pallas path should be used by default.
+
+    True only when computation actually runs on a TPU backend (tests pin
+    the default device to CPU, where the interpreter would be too slow for
+    large batches and the XLA path is used instead).
+    """
+    try:
+        default = jax.config.jax_default_device
+        if default is not None and default.platform != "tpu":
+            return False
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def shifted_dot_scores_auto(
+    q_mz, q_int, c_mz, c_int, c_ann,
+    q_prec_mz, c_prec_mz, charge, pair_valid,
+    fragment_mz_tolerance: float,
+    num_shifts: int,
+    allow_shift: bool,
+):
+    """Dispatch to the Pallas kernel on TPU, else the XLA formulation."""
+    from ann_solo_tpu.ops.shifted_dot import shifted_dot_scores
+
+    p = q_mz.shape[0]
+    if (
+        use_pallas_default()
+        and p % PAIR_BLOCK == 0
+        and q_mz.shape[1] <= 128
+    ):
+        scores = shifted_dot_scores_pallas(
+            jnp.asarray(q_mz), jnp.asarray(q_int),
+            jnp.asarray(c_mz), jnp.asarray(c_int), jnp.asarray(c_ann),
+            jnp.asarray(q_prec_mz), jnp.asarray(c_prec_mz),
+            jnp.asarray(charge),
+            fragment_mz_tolerance, num_shifts, allow_shift,
+        )
+        return jnp.where(jnp.asarray(pair_valid), scores, -jnp.inf)
+    return shifted_dot_scores(
+        q_mz, q_int, c_mz, c_int, c_ann, q_prec_mz, c_prec_mz, charge,
+        pair_valid, fragment_mz_tolerance, num_shifts, allow_shift,
+    )
+
+
+def shifted_dot_scores_oracle_block(
+    q_mz, q_int, c_mz, c_int, c_ann, q_prec, c_prec, charge,
+    fragment_mz_tolerance, allow_shift,
+):
+    """Per-pair NumPy oracle over a block (testing helper)."""
+    from ann_solo_tpu.ops.shifted_dot import shifted_dot_oracle
+
+    out = np.zeros(len(q_mz), np.float32)
+    for i in range(len(q_mz)):
+        out[i] = shifted_dot_oracle(
+            q_mz[i], q_int[i], c_mz[i], c_int[i], c_ann[i],
+            q_prec[i], c_prec[i], int(charge[i]),
+            fragment_mz_tolerance, allow_shift,
+        )[0]
+    return out

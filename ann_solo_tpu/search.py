@@ -42,10 +42,8 @@ from ann_solo_tpu.models.spectrum import (
     SpectrumSpectrumMatch,
     pack_spectra,
 )
-from ann_solo_tpu.ops.shifted_dot import (
-    shifted_dot_best_match,
-    shifted_dot_scores,
-)
+from ann_solo_tpu.ops.shifted_dot import shifted_dot_best_match
+from ann_solo_tpu.ops.shifted_dot_pallas import shifted_dot_scores_auto
 
 logger = logging.getLogger(__name__)
 
@@ -431,7 +429,7 @@ class SpectralLibrary:
             valid = np.zeros(chunk, bool)
             valid[:n] = True
             scores = np.asarray(
-                shifted_dot_scores(
+                shifted_dot_scores_auto(
                     q_mz[pq], q_int[pq],
                     lib.mz[pc], lib.intensity[pc], lib.ann_charge[pc],
                     q_prec[pq].astype(np.float32),

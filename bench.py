@@ -65,7 +65,7 @@ def main():
         VectorizeParams,
         vectorize_batch,
     )
-    from ann_solo_tpu.ops.shifted_dot import shifted_dot_scores
+    from ann_solo_tpu.ops.shifted_dot_pallas import shifted_dot_scores_auto
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(42)
@@ -155,7 +155,7 @@ def main():
             valid = np.zeros(PAIR_CHUNK, bool)
             valid[:n] = True
             scores = np.asarray(
-                shifted_dot_scores(
+                shifted_dot_scores_auto(
                     q_mz[pq], q_int[pq],
                     lib_mz[pc], lib_int[pc], lib_ann[pc],
                     q_prec[pq].astype(np.float32),

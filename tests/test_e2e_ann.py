@@ -1,0 +1,81 @@
+"""End-to-end ANN-mode (IVF-filtered) open search on synthetic data."""
+
+import numpy as np
+import pytest
+
+from ann_solo_tpu.io.mgf import write_mgf
+from ann_solo_tpu.io.mztab import read_mztab_ssms
+from ann_solo_tpu.io.splib import write_splib
+
+from synth import make_library, modified_query, noisy_query
+
+
+@pytest.fixture(scope="module")
+def ann_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e_ann")
+    rng = np.random.default_rng(41)
+    # Enough library spectra per charge to exceed num_list.
+    peptides, spectra = make_library(rng, n_peptides=120, charges=(2,))
+    lib_path = str(tmp / "lib.splib")
+    write_splib(spectra, lib_path)
+    queries = []
+    for i, spectrum in enumerate(spectra[:30]):
+        queries.append(noisy_query(spectrum, rng, f"q_std_{i}"))
+    for i, spectrum in enumerate(spectra[30:45]):
+        queries.append(
+            modified_query(peptides[30 + i], spectrum, rng, f"q_open_{i}")
+        )
+    query_path = str(tmp / "queries.mgf")
+    write_mgf(queries, query_path)
+    return {
+        "tmp": tmp, "peptides": peptides, "lib_path": lib_path,
+        "query_path": query_path,
+    }
+
+
+def test_ann_mode_cascade(ann_setup):
+    from ann_solo_tpu.cli import main
+
+    out_path = str(ann_setup["tmp"] / "ann.mztab")
+    args = [
+        ann_setup["lib_path"], ann_setup["query_path"], out_path,
+        "--precursor_tolerance_mass", "20",
+        "--precursor_tolerance_mode", "ppm",
+        "--precursor_tolerance_mass_open", "30",
+        "--precursor_tolerance_mode_open", "Da",
+        "--fragment_mz_tolerance", "0.02",
+        "--allow_peak_shifts",
+        "--min_mz_range", "200",
+        "--min_peaks", "5",
+        "--model", "none",
+        "--mode", "ann",
+        "--num_list", "8",
+        "--num_probe", "4",
+        "--num_candidates", "32",
+        "--batch_size", "512",
+        "--rescore_pair_batch", "1024",
+        "--fdr", "0.05",
+        "--add_decoys",
+    ]
+    assert main(args) == 0
+    ssms = read_mztab_ssms(out_path)
+    targets = ssms[~ssms["opt_ms_run[1]_cv_MS:1002217_decoy_peptide"]]
+    confident = targets[targets["search_engine_score[2]"] < 0.2]
+    peptides = ann_setup["peptides"]
+    std_hits = open_hits = 0
+    for idx, row in confident.iterrows():
+        name = str(idx)
+        i = int(name.split("_")[-1])
+        if name.startswith("q_std") and row["sequence"] == peptides[i]:
+            std_hits += 1
+        if name.startswith("q_open") and (
+            row["sequence"] == peptides[30 + i]
+        ):
+            open_hits += 1
+    assert std_hits >= 24  # 30 standard queries
+    # The IVF filter may drop some neighbors but must retain most.
+    assert open_hits >= 9  # 15 modified queries
+
+    # An ANN index file must have been created and is reused on reruns.
+    index_files = list(ann_setup["tmp"].glob("*.ivf.h5"))
+    assert len(index_files) == 1

@@ -1,0 +1,46 @@
+"""Pallas shifted-dot kernel (interpret mode) vs the XLA path and oracle."""
+
+import numpy as np
+import pytest
+
+from ann_solo_tpu.ops.shifted_dot import shifted_dot_scores
+from ann_solo_tpu.ops.shifted_dot_pallas import (
+    PAIR_BLOCK,
+    shifted_dot_scores_pallas,
+)
+
+from test_shifted_dot import _pad, _random_pair
+
+
+@pytest.mark.parametrize("allow_shift", [False, True])
+def test_pallas_matches_xla(allow_shift):
+    rng = np.random.default_rng(19)
+    charge = 3
+    pairs = [
+        _random_pair(rng, 30, charge, mod_mass=rng.choice([0.0, 16.0]))
+        for _ in range(PAIR_BLOCK)
+    ]
+    k = 32
+    q_mz = _pad([p[0] for p in pairs], k)
+    q_int = _pad([p[1] for p in pairs], k)
+    c_mz = _pad([p[2] for p in pairs], k)
+    c_int = _pad([p[3] for p in pairs], k)
+    c_ann = _pad([p[4] for p in pairs], k)
+    q_prec = np.asarray([p[5] for p in pairs], np.float32)
+    c_prec = np.asarray([p[6] for p in pairs], np.float32)
+    charges = np.full(len(pairs), charge, np.int32)
+    tol = 0.02
+
+    expected = np.asarray(
+        shifted_dot_scores(
+            q_mz, q_int, c_mz, c_int, c_ann, q_prec, c_prec, charges,
+            np.ones(len(pairs), bool), tol, charge + 1, allow_shift,
+        )
+    )
+    got = np.asarray(
+        shifted_dot_scores_pallas(
+            q_mz, q_int, c_mz, c_int, c_ann, q_prec, c_prec, charges,
+            tol, charge + 1, allow_shift, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=1e-6)
