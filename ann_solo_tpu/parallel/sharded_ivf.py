@@ -1,0 +1,153 @@
+"""ICI-sharded IVF search: inverted lists partitioned across devices.
+
+The 100M+-vector regime from BASELINE.md: the list-major padded IVF
+storage (index/ivf.py) is sharded over the 'lib' mesh axis by *list* --
+each device owns a contiguous slice of lists (and their member vectors),
+centroids are replicated.  A query tile broadcasts over ICI; every shard
+scans the probed lists it owns with blocked MXU matmuls, takes a local
+top-k, and the per-shard candidates merge with one all-gather of k entries
+per query -- communication O(k), independent of library size.
+
+Query-side data parallelism rides the 'dp' axis unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def _local_ivf_scan(
+    queries,  # (B_l, D) local query tile
+    padded_vectors,  # (L_l, P, D) lists owned by this shard
+    padded_ids,  # (L_l, P) global row ids, -1 padded
+    centroids,  # (L, D) replicated
+    num_probe: int,
+    k: int,
+    lists_per_shard: int,
+):
+    l_total = centroids.shape[0]
+    b = queries.shape[0]
+    coarse = jnp.dot(
+        queries, centroids.T, preferred_element_type=jnp.float32
+    )  # (B, L)
+    _, probe_ids = jax.lax.top_k(coarse, min(num_probe, l_total))
+    probed = jnp.zeros((b, l_total), bool)
+    rows = jnp.arange(b)[:, None]
+    probed = probed.at[rows, probe_ids].set(True)
+    # This shard owns lists [shard * L_l, (shard+1) * L_l).
+    shard = jax.lax.axis_index("lib")
+    local_probed = jax.lax.dynamic_slice(
+        probed, (0, shard * lists_per_shard), (b, lists_per_shard)
+    )  # (B, L_l)
+
+    l_l, p, d = padded_vectors.shape
+    scores = jnp.einsum(
+        "qd,lpd->qlp", queries, padded_vectors,
+        preferred_element_type=jnp.float32,
+    )  # (B, L_l, P)
+    mask = local_probed[:, :, None] & (padded_ids >= 0)[None, :, :]
+    scores = jnp.where(mask, scores, -jnp.inf).reshape(b, l_l * p)
+    flat_ids = jnp.broadcast_to(
+        padded_ids.reshape(-1)[None, :], (b, l_l * p)
+    )
+    k_local = min(k, l_l * p)
+    local_scores, pos = jax.lax.top_k(scores, k_local)
+    local_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+    # Merge per-shard top-k over ICI.
+    all_scores = jax.lax.all_gather(local_scores, "lib", axis=0)
+    all_ids = jax.lax.all_gather(local_ids, "lib", axis=0)
+    s = all_scores.shape[0]
+    merged_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(
+        b, s * k_local
+    )
+    merged_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(b, s * k_local)
+    top_scores, top_pos = jax.lax.top_k(merged_scores, min(k, s * k_local))
+    top_ids = jnp.take_along_axis(merged_ids, top_pos, axis=1)
+    return jnp.where(top_scores > -jnp.inf, top_ids, -1), top_scores
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def _sharded_ivf_impl(
+    mesh, queries, padded_vectors, padded_ids, centroids,
+    num_probe: int, k: int, lists_per_shard: int,
+):
+    fn = shard_map(
+        partial(
+            _local_ivf_scan,
+            num_probe=num_probe,
+            k=k,
+            lists_per_shard=lists_per_shard,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P("dp", None),  # queries
+            P("lib", None, None),  # lists
+            P("lib", None),  # ids
+            P(None, None),  # centroids replicated
+        ),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    return fn(queries, padded_vectors, padded_ids, centroids)
+
+
+def sharded_ivf_search(
+    mesh: Mesh,
+    index,
+    queries: np.ndarray,
+    k: int,
+    num_probe: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Search a (host) IvfIndex with its lists sharded over the mesh.
+
+    Returns ((B, k) global row ids, (B, k) scores).  The number of lists
+    must divide the 'lib' mesh axis size; pad `num_list` accordingly at
+    build time.
+    """
+    num_probe = num_probe or index.num_probe
+    n_lists = index.padded_vectors.shape[0]
+    lib_shards = mesh.shape["lib"]
+    if n_lists % lib_shards != 0:
+        raise ValueError(
+            f"num_list={n_lists} must divide lib shards={lib_shards}"
+        )
+    lists_per_shard = n_lists // lib_shards
+    b = len(queries)
+    dp = mesh.shape["dp"]
+    b_pad = -(-b // dp) * dp
+    if b_pad != b:
+        queries = np.concatenate(
+            [queries,
+             np.zeros((b_pad - b, queries.shape[1]), queries.dtype)]
+        )
+    queries_s = jax.device_put(
+        jnp.asarray(queries, jnp.float32),
+        NamedSharding(mesh, P("dp", None)),
+    )
+    vectors_s = jax.device_put(
+        jnp.asarray(index.padded_vectors),
+        NamedSharding(mesh, P("lib", None, None)),
+    )
+    ids_s = jax.device_put(
+        jnp.asarray(index.padded_ids),
+        NamedSharding(mesh, P("lib", None)),
+    )
+    centroids_s = jax.device_put(
+        jnp.asarray(index.centroids), NamedSharding(mesh, P())
+    )
+    ids, scores = _sharded_ivf_impl(
+        mesh, queries_s, vectors_s, ids_s, centroids_s,
+        num_probe, k, lists_per_shard,
+    )
+    return np.asarray(ids)[:b], np.asarray(scores)[:b]
