@@ -51,64 +51,61 @@ def _kernel(
         shifted_active = jnp.abs(prec_diff) >= tol  # (P, 1)
         ann = c_ann_ref[:]  # (P, K)
 
-    # Mosaic constraints shape this loop: lane stores must be 128-aligned,
-    # so `rows_per_store` query-peak rows (each k lanes) are built per
-    # iteration; and dynamic lane extraction is done as a one-hot matmul
-    # (MXU) rather than a lane shuffle.
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    # Build the flattened (P, K*K) score block in one shot: expand the
+    # query and candidate peak arrays to the outer-product lane layout
+    # (lane l = i*K + j holds peak i of the query / peak j of the
+    # candidate) via two constant one-hot expansion matmuls on the MXU --
+    # Mosaic has no lane-gather, but the MXU is free here.
+    kk = k * k
+    lane = jax.lax.broadcasted_iota(jnp.int32, (k, kk), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (k, kk), 0)
+    expand_q = (lane // k == sub).astype(jnp.float32)  # (K, KK)
+    expand_c = (lane - (lane // k) * k == sub).astype(jnp.float32)
 
-    def select_col(matrix, i):
-        onehot = (lane_iota == i).astype(jnp.float32)  # (K, 1)
+    def eq(matrix):
         return jnp.dot(
-            matrix, onehot, preferred_element_type=jnp.float32
-        )  # (P, 1)
-
-    rows_per_store = max(1, 128 // k)
-    n_stores = k // rows_per_store
-    store_width = rows_per_store * k
-
-    def build_rows(i2, _):
-        parts = []
-        for r in range(rows_per_store):
-            i = i2 * rows_per_store + r
-            q_mz_i = select_col(q_mz, i)  # (P, 1)
-            q_int_i = select_col(q_int, i)
-            diff = q_mz_i - c_mz  # (P, K)
-            best_mult = (jnp.abs(diff) <= tol).astype(jnp.float32)
-            if shifted:
-                for s in range(1, num_shifts):
-                    offset = prec_diff / jnp.float32(s)  # (P, 1)
-                    within = jnp.abs(diff - offset) <= tol
-                    mult = jnp.where(
-                        ann == s, 1.0,
-                        jnp.where(ann == 0, 2.0 / 3.0, 0.0),
-                    )
-                    active = shifted_active & (jnp.float32(s) <= charge)
-                    best_mult = jnp.maximum(
-                        best_mult, jnp.where(within & active, mult, 0.0)
-                    )
-            parts.append(best_mult * q_int_i * c_int)  # (P, K)
-        block = parts[0] if len(parts) == 1 else jnp.concatenate(
-            parts, axis=1
+            matrix, expand_q, preferred_element_type=jnp.float32
         )
-        scratch_ref[
-            :, pl.ds(pl.multiple_of(i2 * store_width, store_width),
-                     store_width)
-        ] = block
-        return 0
 
-    jax.lax.fori_loop(0, n_stores, build_rows, 0)
+    def ec(matrix):
+        return jnp.dot(
+            matrix, expand_c, preferred_element_type=jnp.float32
+        )
+
+    diff = eq(q_mz) - ec(c_mz)  # (P, KK)
+    best_mult = (jnp.abs(diff) <= tol).astype(jnp.float32)
+    if shifted:
+        ann_e = ec(ann.astype(jnp.float32))  # (P, KK)
+        for s in range(1, num_shifts):
+            offset = prec_diff / jnp.float32(s)  # (P, 1)
+            within = jnp.abs(diff - offset) <= tol
+            mult = jnp.where(
+                ann_e == s, 1.0,
+                jnp.where(ann_e == 0, 2.0 / 3.0, 0.0),
+            )
+            active = shifted_active & (jnp.float32(s) <= charge)  # (P, 1)
+            best_mult = jnp.maximum(
+                best_mult, jnp.where(within & active, mult, 0.0)
+            )
+    scratch_ref[:] = best_mult * eq(q_int) * ec(c_int)
 
     # Greedy one-to-one assignment: iterative masked argmax over the
     # flattened (P, K*K) block.  At most K matches exist; blocked entries
     # are zeroed, so a zero max means done (padded peaks have zero
     # intensity and never win).
-    kk = k * k
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (p, kk), 1)
     row_ids = col_ids // k
     col_mod = col_ids - row_ids * k
 
-    def greedy(_, total):
+    # Early exit once no pair in the block has a positive entry left --
+    # typical candidates have only a handful of matches, so this usually
+    # terminates after far fewer than K iterations.
+    def greedy_cond(state):
+        i, _total, active = state
+        return (i < k) & active
+
+    def greedy_body(state):
+        i, total, _active = state
         flat = scratch_ref[:]
         best = jnp.max(flat, axis=1, keepdims=True)  # (P, 1)
         is_best = flat >= best
@@ -122,10 +119,12 @@ def _kernel(
         col = idx - row * k
         blocked = (row_ids == row) | (col_mod == col)
         scratch_ref[:] = jnp.where(blocked & take, 0.0, flat)
-        return total
+        return i + 1, total, jnp.any(take)
 
-    total = jax.lax.fori_loop(
-        0, k, greedy, jnp.zeros((p, 1), jnp.float32)
+    _, total, _ = jax.lax.while_loop(
+        greedy_cond,
+        greedy_body,
+        (jnp.int32(0), jnp.zeros((p, 1), jnp.float32), jnp.bool_(True)),
     )
     out_ref[:] = total
 
@@ -246,6 +245,49 @@ def shifted_dot_scores_auto(
     return shifted_dot_scores(
         q_mz, q_int, c_mz, c_int, c_ann, q_prec_mz, c_prec_mz, charge,
         pair_valid, fragment_mz_tolerance, num_shifts, allow_shift,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13))
+def gather_pair_scores(
+    q_mz, q_int, q_prec,  # (B, K), (B, K), (B,) device-resident queries
+    lib_mz, lib_int, lib_ann, lib_prec,  # device-resident library block
+    pair_q, pair_c, pair_valid,  # (P,) pair indices + validity
+    fragment_mz_tolerance: float,
+    num_shifts: int,
+    allow_shift: bool,
+    use_pallas: bool,
+):
+    """Gather (query, candidate) pairs on device and score them.
+
+    Keeps the library and query peak blocks resident on the device: only
+    the (P,) index vectors cross the host boundary per chunk, instead of
+    gathered (P, K) peak arrays (a major transfer saving on tunneled or
+    PCIe-attached accelerators).
+    """
+    # The engine partitions by charge, so num_shifts == charge + 1 when
+    # shifts are enabled; reconstruct the per-pair charge accordingly.
+    charge = jnp.full(
+        pair_q.shape, num_shifts - 1 if allow_shift else 1, jnp.int32
+    )
+    qm = jnp.take(q_mz, pair_q, axis=0)
+    qi = jnp.take(q_int, pair_q, axis=0)
+    qp = jnp.take(q_prec, pair_q, axis=0)
+    cm = jnp.take(lib_mz, pair_c, axis=0)
+    ci = jnp.take(lib_int, pair_c, axis=0)
+    ca = jnp.take(lib_ann, pair_c, axis=0)
+    cp = jnp.take(lib_prec, pair_c, axis=0)
+    if use_pallas:
+        scores = shifted_dot_scores_pallas(
+            qm, qi, cm, ci, ca, qp, cp, charge,
+            fragment_mz_tolerance, num_shifts, allow_shift,
+        )
+        return jnp.where(pair_valid, scores, -jnp.inf)
+    from ann_solo_tpu.ops.shifted_dot import shifted_dot_scores
+
+    return shifted_dot_scores(
+        qm, qi, cm, ci, ca, qp, cp, charge, pair_valid,
+        fragment_mz_tolerance, num_shifts, allow_shift,
     )
 
 

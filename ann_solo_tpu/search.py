@@ -43,7 +43,7 @@ from ann_solo_tpu.models.spectrum import (
     pack_spectra,
 )
 from ann_solo_tpu.ops.shifted_dot import shifted_dot_best_match
-from ann_solo_tpu.ops.shifted_dot_pallas import shifted_dot_scores_auto
+from ann_solo_tpu.utils.profiling import device_trace, profiler
 
 logger = logging.getLogger(__name__)
 
@@ -63,10 +63,24 @@ class _ChargeLibrary:
         self.intensity = block.proc_intensity[order]
         self.ann_charge = block.proc_ann_charge[order].astype(np.int32)
         self.n_peaks = block.proc_n_peaks[order]
+        self._device = None
 
     @property
     def n_spectra(self) -> int:
         return len(self.rows)
+
+    def device_arrays(self):
+        """Library peak blocks resident on the default device (cached)."""
+        import jax.numpy as jnp
+
+        if self._device is None:
+            self._device = (
+                jnp.asarray(self.mz),
+                jnp.asarray(self.intensity),
+                jnp.asarray(self.ann_charge),
+                jnp.asarray(self.precursor_mz, jnp.float32),
+            )
+        return self._device
 
 
 def precursor_window_bounds(
@@ -167,7 +181,9 @@ class SpectralLibrary:
         """Identify all query spectra
         (reference spectral_library.py:193-260)."""
         logger.info("Process file %s", query_filename)
-        query_spectra = self._read_and_process_queries(query_filename)
+        profiler.reset()
+        with profiler.stage("query I/O + preprocessing"):
+            query_spectra = self._read_and_process_queries(query_filename)
 
         identifications: Dict[str, SpectrumSpectrumMatch] = {}
         do_cascade_open = (
@@ -194,6 +210,7 @@ class SpectralLibrary:
             logger.info(
                 "%d spectra identified after the open search", n_identified
             )
+        profiler.log_summary()
         return list(identifications.values())
 
     def _read_and_process_queries(
@@ -281,14 +298,15 @@ class SpectralLibrary:
             "Filter the spectrum-spectrum matches on FDR (threshold = %s)",
             config.fdr,
         )
-        return fdr.score_ssms(
-            list(ssms.values()),
-            config.fdr,
-            config.model if config.model != "none" else None,
-            mode == "open",
-            int(config.fdr_min_group_size),
-            config,
-        )
+        with profiler.stage("rescoring + FDR"):
+            return fdr.score_ssms(
+                list(ssms.values()),
+                config.fdr,
+                config.model if config.model != "none" else None,
+                mode == "open",
+                int(config.fdr_min_group_size),
+                config,
+            )
 
     def _search_batch(
         self, batch: List[Spectrum], charge: int, mode: str
@@ -346,9 +364,10 @@ class SpectralLibrary:
             )
 
         num_candidates_per_query = np.bincount(pair_q, minlength=b)
-        best_idx, best_score = self._rescore_pairs(
-            q_mz, q_int, q_prec, lib, pair_q, pair_c, charge
-        )
+        with profiler.stage("exact rescoring"), device_trace():
+            best_idx, best_score = self._rescore_pairs(
+                q_mz, q_int, q_prec, lib, pair_q, pair_c, charge
+            )
 
         # Recompute peak matches for the best pairs only.
         has_match = best_idx >= 0
@@ -409,7 +428,19 @@ class SpectralLibrary:
     def _rescore_pairs(
         self, q_mz, q_int, q_prec, lib, pair_q, pair_c, charge
     ):
-        """Exact shifted-dot rescoring over pair chunks; best per query."""
+        """Exact shifted-dot rescoring over pair chunks; best per query.
+
+        The library and query peak blocks stay device-resident; only the
+        pair index vectors are shipped per chunk
+        (ops/shifted_dot_pallas.gather_pair_scores).
+        """
+        import jax.numpy as jnp
+
+        from ann_solo_tpu.ops.shifted_dot_pallas import (
+            gather_pair_scores,
+            use_pallas_default,
+        )
+
         b = q_mz.shape[0]
         best_score = np.full(b, -np.inf, np.float64)
         best_idx = np.full(b, -1, np.int64)
@@ -417,7 +448,11 @@ class SpectralLibrary:
         allow_shift = bool(config.allow_peak_shifts)
         num_shifts = charge + 1 if allow_shift else 1
         frag_tol = float(config.fragment_mz_tolerance)
-        charges = np.full(chunk, charge, np.int32)
+        lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d = lib.device_arrays()
+        q_mz_d = jnp.asarray(q_mz)
+        q_int_d = jnp.asarray(q_int)
+        q_prec_d = jnp.asarray(q_prec, jnp.float32)
+        use_pallas = use_pallas_default()
         for start in range(0, len(pair_q), chunk):
             pq = pair_q[start : start + chunk]
             pc = pair_c[start : start + chunk]
@@ -429,16 +464,17 @@ class SpectralLibrary:
             valid = np.zeros(chunk, bool)
             valid[:n] = True
             scores = np.asarray(
-                shifted_dot_scores_auto(
-                    q_mz[pq], q_int[pq],
-                    lib.mz[pc], lib.intensity[pc], lib.ann_charge[pc],
-                    q_prec[pq].astype(np.float32),
-                    lib.precursor_mz[pc].astype(np.float32),
-                    charges, valid, frag_tol, num_shifts, allow_shift,
+                gather_pair_scores(
+                    q_mz_d, q_int_d, q_prec_d,
+                    lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
+                    jnp.asarray(pq, jnp.int32),
+                    jnp.asarray(pc, jnp.int32),
+                    jnp.asarray(valid),
+                    frag_tol, num_shifts, allow_shift, use_pallas,
                 )
             )[:n]
-            pq = pair_q[start : start + chunk]
-            pc = pair_c[start : start + chunk]
+            pq = pair_q[start : start + chunk][:n]
+            pc = pair_c[start : start + chunk][:n]
             # Segment-max per query: grouped max, then first argmax winner.
             np.maximum.at(best_score, pq, scores)
             newly_best = scores >= best_score[pq]

@@ -60,12 +60,17 @@ def synth_processed(rng, n, k_peaks=K_PEAKS):
 def main():
     import jax
 
+    import jax.numpy as jnp
+
     from ann_solo_tpu.index.ivf import IvfIndex
     from ann_solo_tpu.models.vectorize import (
         VectorizeParams,
         vectorize_batch,
     )
-    from ann_solo_tpu.ops.shifted_dot_pallas import shifted_dot_scores_auto
+    from ann_solo_tpu.ops.shifted_dot_pallas import (
+        gather_pair_scores,
+        use_pallas_default,
+    )
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(42)
@@ -114,6 +119,13 @@ def main():
         f"({N_LIBRARY / max(t_build, 1e-9):.0f} vectors/sec)"
     )
 
+    lib_mz_d = jnp.asarray(lib_mz)
+    lib_int_d = jnp.asarray(lib_int)
+    lib_ann_d = jnp.asarray(lib_ann)
+    lib_prec_d = jnp.asarray(lib_prec, jnp.float32)
+    use_pallas = use_pallas_default()
+    log(f"pallas kernel: {use_pallas}")
+
     def run_batch(q_mz, q_int, q_ann, q_n, q_prec):
         # 1) vectorize queries
         q_vec = np.asarray(
@@ -137,10 +149,13 @@ def main():
             & (pair_c < hi[pair_q])
         )
         pair_q, pair_c = pair_q[keep], pair_c[keep]
-        # 4) exact shifted-dot rescoring in fixed chunks
+        # 4) exact shifted-dot rescoring in fixed chunks; peak blocks stay
+        #    device-resident, only pair indices are transferred.
+        q_mz_d = jnp.asarray(q_mz)
+        q_int_d = jnp.asarray(q_int)
+        q_prec_d = jnp.asarray(q_prec, jnp.float32)
         best_score = np.full(b, -np.inf, np.float32)
         best_idx = np.full(b, -1, np.int64)
-        charges = np.full(PAIR_CHUNK, CHARGE, np.int32)
         for start in range(0, len(pair_q), PAIR_CHUNK):
             pq = pair_q[start : start + PAIR_CHUNK]
             pc = pair_c[start : start + PAIR_CHUNK]
@@ -155,12 +170,13 @@ def main():
             valid = np.zeros(PAIR_CHUNK, bool)
             valid[:n] = True
             scores = np.asarray(
-                shifted_dot_scores_auto(
-                    q_mz[pq], q_int[pq],
-                    lib_mz[pc], lib_int[pc], lib_ann[pc],
-                    q_prec[pq].astype(np.float32),
-                    lib_prec[pc].astype(np.float32),
-                    charges, valid, FRAG_TOL, CHARGE + 1, True,
+                gather_pair_scores(
+                    q_mz_d, q_int_d, q_prec_d,
+                    lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
+                    jnp.asarray(pq, jnp.int32),
+                    jnp.asarray(pc, jnp.int32),
+                    jnp.asarray(valid),
+                    FRAG_TOL, CHARGE + 1, True, use_pallas,
                 )
             )[:n]
             pq, pc = pq[:n], pc[:n]
