@@ -139,6 +139,17 @@ class IvfIndex:
         self.padded_vectors = padded_vectors
         self.padded_ids = padded_ids
         self.num_probe = num_probe
+        self._device = None
+
+    def device_arrays(self):
+        """Index blocks resident on the default device (uploaded once)."""
+        if self._device is None:
+            self._device = (
+                jnp.asarray(self.padded_vectors),
+                jnp.asarray(self.padded_ids),
+                jnp.asarray(self.centroids),
+            )
+        return self._device
 
     # ------------------------------------------------------------------ #
 
@@ -260,6 +271,7 @@ class IvfIndex:
             n_lists,
             max(_TILE_LIST_SLACK * num_probe, num_probe + 8),
         )
+        vectors_d, ids_d, centroids_d = self.device_arrays()
         out = np.full((b, k), -1, np.int32)
         for start in range(0, b, _TILE_Q):
             rows = order[start : start + _TILE_Q]
@@ -271,7 +283,7 @@ class IvfIndex:
                               np.float32)]
                 )
             _, ids = _ivf_search_tile(
-                self.padded_vectors, self.padded_ids, self.centroids,
+                vectors_d, ids_d, centroids_d,
                 tile, num_probe, tile_lists, _LIST_CHUNK, k,
             )
             out[rows] = np.asarray(ids)[: len(rows)]

@@ -51,43 +51,57 @@ def _kernel(
         shifted_active = jnp.abs(prec_diff) >= tol  # (P, 1)
         ann = c_ann_ref[:]  # (P, K)
 
-    # Build the flattened (P, K*K) score block in one shot: expand the
-    # query and candidate peak arrays to the outer-product lane layout
-    # (lane l = i*K + j holds peak i of the query / peak j of the
-    # candidate) via two constant one-hot expansion matmuls on the MXU --
-    # Mosaic has no lane-gather, but the MXU is free here.
+    # Mosaic constraints shape this loop: lane stores must be 128-aligned,
+    # so `rows_per_store` query-peak rows (each k lanes) are built per
+    # iteration; and dynamic lane extraction is done as a one-hot matmul
+    # (MXU) rather than a lane shuffle.  (A single-shot formulation via
+    # (K, K*K) one-hot expansion matmuls is algebraically nicer but sends
+    # the Mosaic compiler into a multi-minute compile -- the small per-row
+    # loop compiles in seconds and runs at the same speed.)
     kk = k * k
-    lane = jax.lax.broadcasted_iota(jnp.int32, (k, kk), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (k, kk), 0)
-    expand_q = (lane // k == sub).astype(jnp.float32)  # (K, KK)
-    expand_c = (lane - (lane // k) * k == sub).astype(jnp.float32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
 
-    def eq(matrix):
+    def select_col(matrix, i):
+        onehot = (lane_iota == i).astype(jnp.float32)  # (K, 1)
         return jnp.dot(
-            matrix, expand_q, preferred_element_type=jnp.float32
-        )
+            matrix, onehot, preferred_element_type=jnp.float32
+        )  # (P, 1)
 
-    def ec(matrix):
-        return jnp.dot(
-            matrix, expand_c, preferred_element_type=jnp.float32
-        )
+    rows_per_store = max(1, 128 // k)
+    n_stores = k // rows_per_store
+    store_width = rows_per_store * k
 
-    diff = eq(q_mz) - ec(c_mz)  # (P, KK)
-    best_mult = (jnp.abs(diff) <= tol).astype(jnp.float32)
-    if shifted:
-        ann_e = ec(ann.astype(jnp.float32))  # (P, KK)
-        for s in range(1, num_shifts):
-            offset = prec_diff / jnp.float32(s)  # (P, 1)
-            within = jnp.abs(diff - offset) <= tol
-            mult = jnp.where(
-                ann_e == s, 1.0,
-                jnp.where(ann_e == 0, 2.0 / 3.0, 0.0),
-            )
-            active = shifted_active & (jnp.float32(s) <= charge)  # (P, 1)
-            best_mult = jnp.maximum(
-                best_mult, jnp.where(within & active, mult, 0.0)
-            )
-    scratch_ref[:] = best_mult * eq(q_int) * ec(c_int)
+    def build_rows(i2, _):
+        parts = []
+        for r in range(rows_per_store):
+            i = i2 * rows_per_store + r
+            q_mz_i = select_col(q_mz, i)  # (P, 1)
+            q_int_i = select_col(q_int, i)
+            diff = q_mz_i - c_mz  # (P, K)
+            best_mult = (jnp.abs(diff) <= tol).astype(jnp.float32)
+            if shifted:
+                for s in range(1, num_shifts):
+                    offset = prec_diff / jnp.float32(s)  # (P, 1)
+                    within = jnp.abs(diff - offset) <= tol
+                    mult = jnp.where(
+                        ann == s, 1.0,
+                        jnp.where(ann == 0, 2.0 / 3.0, 0.0),
+                    )
+                    active = shifted_active & (jnp.float32(s) <= charge)
+                    best_mult = jnp.maximum(
+                        best_mult, jnp.where(within & active, mult, 0.0)
+                    )
+            parts.append(best_mult * q_int_i * c_int)  # (P, K)
+        block = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1
+        )
+        scratch_ref[
+            :, pl.ds(pl.multiple_of(i2 * store_width, store_width),
+                     store_width)
+        ] = block
+        return 0
+
+    jax.lax.fori_loop(0, n_stores, build_rows, 0)
 
     # Greedy one-to-one assignment: iterative masked argmax over the
     # flattened (P, K*K) block.  At most K matches exist; blocked entries
