@@ -105,9 +105,17 @@ def vectorize_batch(
     in_range = valid & (bin_idx >= 0) & (bin_idx < params.n_bins)
     bucket = bin_to_hash[jnp.clip(bin_idx, 0, params.n_bins - 1)]
     weight = jnp.where(in_range, intensity, 0.0)
-    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, k))
+    # Accumulate one peak column at a time: K fused (B, hash_len)
+    # compare+FMA steps on the VPU.  (A scatter-add over (B*K) indices
+    # serializes on TPU; with K <= ~100 the unrolled accumulation is far
+    # faster and fuses cleanly.)
+    buckets_iota = jnp.arange(params.hash_len, dtype=jnp.int32)[None, :]
     vectors = jnp.zeros((b, params.hash_len), jnp.float32)
-    vectors = vectors.at[rows, bucket].add(weight)
+    for peak in range(k):
+        onehot = bucket[:, peak : peak + 1] == buckets_iota  # (B, H)
+        vectors = vectors + jnp.where(
+            onehot, weight[:, peak : peak + 1], 0.0
+        )
     if norm:
         norms = jnp.sqrt(jnp.sum(vectors * vectors, axis=1, keepdims=True))
         vectors = vectors / jnp.maximum(norms, jnp.float32(1e-30))
