@@ -59,6 +59,10 @@ def main(args: Optional[Union[str, List[str]]] = None) -> int:
 
     config.parse(args)
 
+    from ann_solo_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from ann_solo_tpu import search
     from ann_solo_tpu.io import mztab
 

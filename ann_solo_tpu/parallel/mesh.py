@@ -8,7 +8,7 @@ all-gathers.  DCN would only enter for multi-slice 100M+ builds.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -34,7 +34,6 @@ from ann_solo_tpu.io.store import (
 )
 from ann_solo_tpu.models.preprocess import (
     PreprocessParams,
-    ProcessedBatch,
     preprocess_batch,
 )
 from ann_solo_tpu.models.spectrum import (

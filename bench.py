@@ -58,8 +58,11 @@ def synth_processed(rng, n, k_peaks=K_PEAKS):
 
 
 def main():
-    import jax
+    from ann_solo_tpu.utils.jax_cache import enable_persistent_cache
 
+    enable_persistent_cache()
+
+    import jax
     import jax.numpy as jnp
 
     from ann_solo_tpu.index.ivf import IvfIndex
