@@ -156,35 +156,46 @@ class IvfIndex:
     @classmethod
     def build(
         cls,
-        vectors: np.ndarray,
+        vectors,
         config,
         seed: int = 42,
     ) -> "IvfIndex":
         """Train the quantizer and pack lists (reference's train/add,
-        spectral_library.py:163-181)."""
+        spectral_library.py:163-181).
+
+        Accepts NumPy or device arrays; the vector matrix never leaves the
+        device -- only the (N,) assignment vector is downloaded to compute
+        the list layout, and the padded list-major blocks are built with an
+        on-device gather.
+        """
         num_list = int(config.num_list)
         logger.info(
             "Train IVF index: %d vectors, %d lists", len(vectors), num_list
         )
+        vectors_d = jnp.asarray(vectors, jnp.float32)
         centroids, assignments = spherical_kmeans(
-            vectors, num_list, seed=seed
+            vectors_d, num_list, seed=seed
         )
+        assignments = np.asarray(assignments)  # (N,) int32: small download
         counts = np.bincount(assignments, minlength=num_list)
         list_pad = max(8, int(-(-counts.max() // 8) * 8))
-        d = vectors.shape[1]
-        padded_vectors = np.zeros((num_list, list_pad, d), np.float32)
         padded_ids = np.full((num_list, list_pad), -1, np.int32)
         for list_id in range(num_list):
             members = np.nonzero(assignments == list_id)[0]
-            padded_vectors[list_id, : len(members)] = vectors[members]
             padded_ids[list_id, : len(members)] = members
-        fill = counts.mean() / max(list_pad, 1)
+        ids_d = jnp.asarray(padded_ids)
+        padded_vectors_d = jnp.where(
+            (ids_d >= 0)[:, :, None],
+            vectors_d[jnp.clip(ids_d, 0, len(assignments) - 1)],
+            0.0,
+        )
         logger.debug(
             "IVF lists: max=%d mean=%.1f pad=%d fill=%.2f",
-            counts.max(), counts.mean(), list_pad, fill,
+            counts.max(), counts.mean(), list_pad,
+            counts.mean() / max(list_pad, 1),
         )
         return cls(
-            centroids, padded_vectors, padded_ids, int(config.num_probe)
+            centroids, padded_vectors_d, ids_d, int(config.num_probe)
         )
 
     @classmethod
@@ -207,30 +218,32 @@ class IvfIndex:
         )
 
         vparams = VectorizeParams.from_config(config)
-        table = vparams.bin_to_hash()
+        table = jnp.asarray(vparams.bin_to_hash())
         chunks = []
         step = 8192
         for start in range(0, lib.n_spectra, step):
             stop = min(start + step, lib.n_spectra)
             chunks.append(
-                np.asarray(
-                    vectorize_batch(
-                        vparams, table,
-                        lib.mz[start:stop], lib.intensity[start:stop],
-                        lib.n_peaks[start:stop],
-                    )
+                vectorize_batch(
+                    vparams, table,
+                    lib.mz[start:stop], lib.intensity[start:stop],
+                    lib.n_peaks[start:stop],
                 )
             )
-        vectors = np.concatenate(chunks, axis=0)
+        vectors = jnp.concatenate(chunks, axis=0)
         index = cls.build(vectors, config)
         index.save(filename)
         return index
 
     def save(self, filename: str) -> None:
         with h5py.File(filename, "w") as f:
-            f.create_dataset("centroids", data=self.centroids)
-            f.create_dataset("padded_vectors", data=self.padded_vectors)
-            f.create_dataset("padded_ids", data=self.padded_ids)
+            f.create_dataset("centroids", data=np.asarray(self.centroids))
+            f.create_dataset(
+                "padded_vectors", data=np.asarray(self.padded_vectors)
+            )
+            f.create_dataset(
+                "padded_ids", data=np.asarray(self.padded_ids)
+            )
 
     @classmethod
     def load(cls, filename: str, num_probe: int) -> "IvfIndex":
@@ -260,7 +273,14 @@ class IvfIndex:
         if b == 0:
             return np.zeros((0, k), np.int32)
         queries = np.asarray(queries, np.float32)
-        top1 = np.argmax(queries @ self.centroids.T, axis=1)
+        vectors_d, ids_d, centroids_d = self.device_arrays()
+        top1 = np.asarray(
+            jnp.argmax(
+                jnp.dot(jnp.asarray(queries), centroids_d.T,
+                        preferred_element_type=jnp.float32),
+                axis=1,
+            )
+        )
         order = np.argsort(top1, kind="stable")
         n_lists = self.padded_vectors.shape[0]
         # Budget of lists scanned per tile: covers the tile's probe union
@@ -271,7 +291,6 @@ class IvfIndex:
             n_lists,
             max(_TILE_LIST_SLACK * num_probe, num_probe + 8),
         )
-        vectors_d, ids_d, centroids_d = self.device_arrays()
         out = np.full((b, k), -1, np.int32)
         for start in range(0, b, _TILE_Q):
             rows = order[start : start + _TILE_Q]

@@ -72,31 +72,34 @@ def _kmeans_fit(
 
 
 def spherical_kmeans(
-    vectors: np.ndarray,
+    vectors,
     n_clusters: int,
     n_iter: int = 25,
     seed: int = 42,
 ):
     """Train spherical k-means; returns (centroids (L, D), assignments (N,)).
 
+    Accepts a NumPy or device array; all heavy data stays on device (only
+    the small centroid/init blocks cross the host boundary).
     Initialization samples distinct vectors (FAISS-style random init).
     """
-    vectors = np.asarray(vectors, np.float32)
+    vectors = jnp.asarray(vectors, jnp.float32)
     n, d = vectors.shape
     rng = np.random.RandomState(seed)
     init_idx = rng.choice(n, size=min(n_clusters, n), replace=False)
-    init = vectors[init_idx].copy()
-    if len(init) < n_clusters:
+    init = vectors[jnp.asarray(init_idx)]
+    if init.shape[0] < n_clusters:
         # Fewer vectors than clusters: tile with small jitter.
-        reps = -(-n_clusters // len(init))
-        init = np.tile(init, (reps, 1))[:n_clusters]
-        init = init + rng.normal(0, 1e-4, init.shape).astype(np.float32)
-    init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-30)
+        reps = -(-n_clusters // init.shape[0])
+        init = jnp.tile(init, (reps, 1))[:n_clusters]
+        init = init + jnp.asarray(
+            rng.normal(0, 1e-4, init.shape), jnp.float32
+        )
+    init = init / jnp.maximum(
+        jnp.linalg.norm(init, axis=1, keepdims=True), 1e-30
+    )
 
     n_pad = max(_BLOCK, -(-n // _BLOCK) * _BLOCK)
-    padded = np.zeros((n_pad, d), np.float32)
-    padded[:n] = vectors
-    centroids, assignments = _kmeans_fit(
-        jnp.asarray(padded), jnp.asarray(init), n_iter
-    )
-    return np.asarray(centroids), np.asarray(assignments)[:n]
+    padded = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(vectors)
+    centroids, assignments = _kmeans_fit(padded, init, n_iter)
+    return centroids, assignments[:n]
