@@ -291,6 +291,16 @@ def gather_pair_scores(
     ci = jnp.take(lib_int, pair_c, axis=0)
     ca = jnp.take(lib_ann, pair_c, axis=0)
     cp = jnp.take(lib_prec, pair_c, axis=0)
+    # The kernel expects equal peak widths on both sides; pad the narrower
+    # one (query and library max_peaks settings may differ).
+    k = max(qm.shape[1], cm.shape[1])
+    if qm.shape[1] < k:
+        pad = [(0, 0), (0, k - qm.shape[1])]
+        qm, qi = jnp.pad(qm, pad), jnp.pad(qi, pad)
+    if cm.shape[1] < k:
+        pad = [(0, 0), (0, k - cm.shape[1])]
+        cm, ci = jnp.pad(cm, pad), jnp.pad(ci, pad)
+        ca = jnp.pad(ca, pad, constant_values=-1)
     if use_pallas:
         scores = shifted_dot_scores_pallas(
             qm, qi, cm, ci, ca, qp, cp, charge,
