@@ -30,39 +30,33 @@ def _kmeans_fit(
 ):
     n_pad, d = vectors_padded.shape
     l = init_centroids.shape[0]
-    n_blocks = n_pad // _BLOCK
+    # Zero-padded rows contribute nothing: mask via the row norm.
+    weights = (
+        jnp.sum(vectors_padded * vectors_padded, axis=1) > 0
+    ).astype(jnp.float32)  # (N,)
+    cluster_iota = jnp.arange(l, dtype=jnp.int32)[None, :]
 
     def assign(centroids):
-        def body(i, acc):
-            start = i * _BLOCK
-            chunk = jax.lax.dynamic_slice(
-                vectors_padded, (start, 0), (_BLOCK, d)
-            )
-            scores = jnp.dot(
-                chunk, centroids.T, preferred_element_type=jnp.float32
-            )
-            ids = jnp.argmax(scores, axis=1).astype(jnp.int32)
-            return jax.lax.dynamic_update_slice(acc, ids, (start,))
-
-        return jax.lax.fori_loop(
-            0, n_blocks, body, jnp.zeros(n_pad, jnp.int32)
-        )
+        scores = jnp.dot(
+            vectors_padded, centroids.T,
+            preferred_element_type=jnp.float32,
+        )  # (N, L)
+        return jnp.argmax(scores, axis=1).astype(jnp.int32)
 
     def step(_, centroids):
         ids = assign(centroids)
-        # Zero-padded rows contribute zero vectors; subtract their count
-        # effect by weighting with the row norm (1 for real, 0 for pad).
-        weights = (
-            jnp.sum(vectors_padded * vectors_padded, axis=1) > 0
-        ).astype(jnp.float32)
-        sums = jax.ops.segment_sum(
-            vectors_padded * weights[:, None], ids, num_segments=l
-        )
-        counts = jax.ops.segment_sum(
-            weights[:, None], ids, num_segments=l
-        )
+        # Cluster sums/counts as one MXU matmul with the (masked) one-hot
+        # assignment matrix -- a segment-sum would scatter-serialize.
+        onehot = (
+            (ids[:, None] == cluster_iota).astype(jnp.float32)
+            * weights[:, None]
+        )  # (N, L)
+        sums = jnp.dot(
+            onehot.T, vectors_padded, preferred_element_type=jnp.float32
+        )  # (L, D)
+        counts = jnp.sum(onehot, axis=0)[:, None]  # (L, 1)
         new_centroids = sums / jnp.maximum(counts, 1.0)
-        # Keep previous centroid for empty clusters.
+        # Keep the previous centroid for empty clusters.
         new_centroids = jnp.where(counts > 0, new_centroids, centroids)
         norms = jnp.linalg.norm(new_centroids, axis=1, keepdims=True)
         return new_centroids / jnp.maximum(norms, 1e-30)
