@@ -19,14 +19,16 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Tuple[str, str] = ("dp", "lib"),
     dp_size: Optional[int] = None,
+    devices=None,
 ) -> Mesh:
     """Create a (dp, lib) mesh over the first `n_devices` devices.
 
     `dp` carries data-parallel query batches, `lib` carries library shards.
     By default dp gets the smaller factor so large libraries get the most
-    shards.
+    shards.  Pass `devices` explicitly to pin the mesh to a specific
+    backend (e.g. virtual CPU devices for multi-chip dry runs).
     """
-    devices = jax.devices()
+    devices = list(devices) if devices is not None else jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     if len(devices) < n_devices:
