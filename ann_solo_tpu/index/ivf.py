@@ -218,14 +218,14 @@ class IvfIndex:
         )
 
         vparams = VectorizeParams.from_config(config)
-        table = jnp.asarray(vparams.bin_to_hash())
+        tables = vparams.tables()
         chunks = []
         step = 8192
         for start in range(0, lib.n_spectra, step):
             stop = min(start + step, lib.n_spectra)
             chunks.append(
                 vectorize_batch(
-                    vparams, table,
+                    vparams, tables,
                     lib.mz[start:stop], lib.intensity[start:stop],
                     lib.n_peaks[start:stop],
                 )

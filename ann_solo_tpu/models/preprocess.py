@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ann_solo_tpu.io.masses import NEUTRON
+from ann_solo_tpu.io.masses import NEUTRON, PROTON
 
 _NEG_INF = jnp.float32(-jnp.inf)
 _POS_INF = jnp.float32(jnp.inf)
@@ -189,18 +189,27 @@ def preprocess_batch(
             valid, mz, params.min_peaks, params.min_mz_range
         )
 
-    # 3) Remove peaks around the precursor m/z (isotopes 0..2, charge-scaled;
-    #    reference spectrum.py:90-92 / spectrum_utils remove_precursor_peak).
+    # 3) Remove peaks around the precursor m/z (isotopes 0..2 at every
+    #    reduced charge 1..precursor_charge; reference spectrum.py:90-92 /
+    #    spectrum_utils remove_precursor_peak(tol, "Da", isotope=2)).
     if params.remove_precursor:
-        charge_f = jnp.maximum(precursor_charge, 1).astype(jnp.float32)
+        prec_charge = jnp.maximum(precursor_charge, 1).astype(jnp.float32)
+        neutral = (
+            precursor_mz.astype(jnp.float32) - jnp.float32(PROTON)
+        ) * prec_charge  # (B,)
         near = jnp.zeros_like(valid)
-        for iso in range(3):
-            target = (
-                precursor_mz + jnp.float32(iso * NEUTRON) / charge_f
-            )[:, None]
-            near |= (
-                jnp.abs(mz - target) <= params.remove_precursor_tolerance
-            )
+        max_charge = 10  # static unroll bound; rows mask their own charge
+        for c in range(1, max_charge + 1):
+            active = (jnp.float32(c) <= prec_charge)[:, None]
+            for iso in range(3):
+                target = (
+                    (neutral + jnp.float32(iso * NEUTRON)) / jnp.float32(c)
+                    + jnp.float32(PROTON)
+                )[:, None]
+                near |= active & (
+                    jnp.abs(mz - target)
+                    <= params.remove_precursor_tolerance
+                )
         valid &= ~near
         is_valid &= _check_valid(
             valid, mz, params.min_peaks, params.min_mz_range

@@ -58,16 +58,19 @@ class MatchBlock:
         self.q_peak_valid = lanes < self.n_q[:, None]
         self.l_peak_valid = lanes < self.n_l[:, None]
         # Unmatched masks: valid peaks not appearing in the match lists.
-        q_matched_mask = np.zeros((b, k), bool)
-        l_matched_mask = np.zeros((b, k), bool)
+        # Padded match lanes scatter into a sacrificial extra column k (a
+        # direct scatter of valid_m at clipped index 0 would let a padded
+        # lane's False overwrite a real match on peak 0).
+        q_matched_ext = np.zeros((b, k + 1), bool)
+        l_matched_ext = np.zeros((b, k + 1), bool)
         np.put_along_axis(
-            q_matched_mask, np.where(self.valid_m, mq, 0),
-            self.valid_m, axis=1,
+            q_matched_ext, np.where(self.valid_m, mq, k), True, axis=1
         )
         np.put_along_axis(
-            l_matched_mask, np.where(self.valid_m, mc, 0),
-            self.valid_m, axis=1,
+            l_matched_ext, np.where(self.valid_m, mc, k), True, axis=1
         )
+        q_matched_mask = q_matched_ext[:, :k]
+        l_matched_mask = l_matched_ext[:, :k]
         self.q_unmatched = self.q_peak_valid & ~q_matched_mask
         self.l_unmatched = self.l_peak_valid & ~l_matched_mask
 

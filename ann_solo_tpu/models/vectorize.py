@@ -37,6 +37,21 @@ def get_dim(
     return round((end_dim - start_dim) / bin_size), start_dim, end_dim
 
 
+class VectorizeTables(NamedTuple):
+    """Device lookup tables for `vectorize_batch`.
+
+    bucket : (n_bins,) int32 -- mass bin -> hashed output bucket.
+    thresholds : (n_bins + 1,) float32 -- thresholds[i] is the smallest
+        float32 m/z whose reference float64 bin index
+        ``floor((m - start) // bin_size)`` (spectrum.py:207) is >= i.
+        Binning an f32 peak is then two pure-f32 compares, bit-identical
+        to the reference's float64 computation for every f32 input.
+    """
+
+    bucket: np.ndarray
+    thresholds: np.ndarray
+
+
 class VectorizeParams(NamedTuple):
     """Static vectorization hyperparameters."""
 
@@ -66,6 +81,39 @@ class VectorizeParams(NamedTuple):
         """Host-side (n_bins,) int32 table: mass bin -> hashed bucket."""
         return hash_bin_table(self.n_bins, self.hash_len, seed=42)
 
+    def tables(self) -> VectorizeTables:
+        """Bucket table + exact float64 bin-edge tables (host, cached)."""
+        return _tables_cached(self)
+
+
+@functools.lru_cache(maxsize=None)
+def _tables_cached(params: "VectorizeParams") -> VectorizeTables:
+    n_bins, start, _ = get_dim(
+        params.min_mz, params.max_mz, params.bin_size
+    )
+    bs = float(params.bin_size)
+    idx = np.arange(n_bins + 1, dtype=np.float64)
+    approx = (start + idx * bs).astype(np.float32)
+    # The true f32 transition point of the reference's f64 floor-div lies
+    # within a couple of f32 ulps of the approximate edge (the f64
+    # rounding error ~1e-11 is far below one f32 ulp of any in-range m/z);
+    # probe the f32 neighborhood and take the smallest candidate whose
+    # reference bin index reaches i.
+    cands = [approx]
+    lo_c, hi_c = approx, approx
+    for _ in range(3):
+        lo_c = np.nextafter(lo_c, np.float32(-np.inf), dtype=np.float32)
+        hi_c = np.nextafter(hi_c, np.float32(np.inf), dtype=np.float32)
+        cands.extend([lo_c, hi_c])
+    cands = np.stack(cands, axis=1)  # (n_bins + 1, 7) float32
+    ref_bin = np.floor((cands.astype(np.float64) - start) // bs)
+    reaches = ref_bin >= idx[:, None]
+    assert reaches.any(axis=1).all(), "f32 edge probe window too narrow"
+    thresholds = np.where(reaches, cands, np.float32(np.inf)).min(
+        axis=1
+    ).astype(np.float32)
+    return VectorizeTables(params.bin_to_hash(), thresholds)
+
 
 @partial(jax.jit, static_argnums=(0, 5))
 def vectorize_batch(
@@ -82,8 +130,11 @@ def vectorize_batch(
     ----------
     params : VectorizeParams
         Static hyperparameters (bin size, hash length, mass range).
-    bin_to_hash : jnp.ndarray
-        (n_bins,) int32 lookup table from `VectorizeParams.bin_to_hash()`.
+    bin_to_hash : VectorizeTables or jnp.ndarray
+        Lookup tables from `VectorizeParams.tables()` (preferred: gives
+        float64-exact bin boundaries), or the bare (n_bins,) int32 bucket
+        table from `bin_to_hash()` (legacy: f32 binning, boundary peaks
+        within ~2e-4 m/z of a bin edge may land one bin off).
     mz, intensity : jnp.ndarray
         (B, K) padded peak arrays (invalid lanes must have intensity 0).
     n_peaks : jnp.ndarray
@@ -95,15 +146,29 @@ def vectorize_batch(
         (B, hash_len) float32 unit-norm vectors.
     """
     b, k = mz.shape
+    n_bins = params.n_bins
     lane = jnp.arange(k, dtype=jnp.int32)[None, :]
     valid = lane < n_peaks[:, None]
-    # Reference: bin_idx = floor((mz - min_bound) // bin_size)
-    # (spectrum.py:207).  Floor-div == div+floor for positive operands.
-    bin_idx = jnp.floor(
+    mz = mz.astype(jnp.float32)
+    # Reference: bin_idx = floor((mz - min_bound) // bin_size) in float64
+    # (spectrum.py:207).  The f32 estimate below can be off by +-1 near a
+    # bin edge; when edge tables are available the estimate is corrected
+    # against the exact float64 edges (hi/lo two-float comparison).
+    raw = jnp.floor(
         (mz - jnp.float32(params.min_bound)) / jnp.float32(params.bin_size)
     ).astype(jnp.int32)
-    in_range = valid & (bin_idx >= 0) & (bin_idx < params.n_bins)
-    bucket = bin_to_hash[jnp.clip(bin_idx, 0, params.n_bins - 1)]
+    if isinstance(bin_to_hash, VectorizeTables):
+        table = jnp.asarray(bin_to_hash.bucket)
+        thresholds = jnp.asarray(bin_to_hash.thresholds)
+        base = jnp.clip(raw, -1, n_bins)
+        below = mz < thresholds[jnp.clip(base, 0, n_bins)]
+        above = mz >= thresholds[jnp.clip(base + 1, 0, n_bins)]
+        bin_idx = base - below.astype(jnp.int32) + above.astype(jnp.int32)
+    else:
+        table = bin_to_hash
+        bin_idx = raw
+    in_range = valid & (bin_idx >= 0) & (bin_idx < n_bins)
+    bucket = table[jnp.clip(bin_idx, 0, n_bins - 1)]
     weight = jnp.where(in_range, intensity, 0.0)
     # Accumulate one peak column at a time: K fused (B, hash_len)
     # compare+FMA steps on the VPU.  (A scatter-add over (B*K) indices

@@ -37,10 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Maximum number of sorted match entries the greedy pass considers per pair.
-# The assignment selects at most min(q_peaks, c_peaks) <= 50 matches, but
-# blocked entries also consume slots; 160 covers realistic spectra (tests
-# check against an uncapped oracle).
+# Kept for call-site compatibility; the greedy assignment is uncapped (an
+# iterative masked argmax needs at most min(q_peaks, c_peaks) rounds, each
+# consuming one query row and one candidate column -- no entry budget).
 DEFAULT_MAX_ENTRIES = 160
 
 
@@ -93,52 +92,63 @@ def pair_score_matrix(
 @partial(jax.jit, static_argnums=(1, 2))
 def greedy_assignment(
     scores: jnp.ndarray,  # (P, K, K)
-    max_entries: int = DEFAULT_MAX_ENTRIES,
+    max_entries: int = DEFAULT_MAX_ENTRIES,  # unused; uncapped (see above)
     return_matches: bool = False,
 ):
     """Greedy one-to-one peak assignment, vectorized over pairs.
 
-    Mirrors SpectrumMatch.cpp:92-111: consume candidate match entries in
-    descending score order, skipping entries whose query or candidate peak
-    was already used.  Returns the total score per pair, and optionally the
-    selected (query_peak, candidate_peak) index pairs, padded with -1.
+    Mirrors SpectrumMatch.cpp:92-111 exactly (uncapped, like the C++):
+    iterative masked argmax -- each round takes the highest remaining
+    entry per pair (lowest flat index on ties, same rule as the Pallas
+    kernel and the oracle) and zeroes its query row and candidate column.
+    At most min(kq, kc) rounds assign everything; an early exit fires once
+    no pair has a positive entry left.  Returns the total score per pair,
+    and optionally the selected (query_peak, candidate_peak) index pairs,
+    padded with -1.
     """
     p, kq, kc = scores.shape
-    m = min(max_entries, kq * kc)
-    flat = scores.reshape(p, kq * kc)
-    vals, idx = jax.lax.top_k(flat, m)  # sorted descending; ties: low index
-    iq = idx // kc  # (P, M)
-    ic = idx % kc
+    n_iter = min(kq, kc)
+    kk = kq * kc
+    flat0 = scores.reshape(p, kk)
+    col_ids = jnp.arange(kk, dtype=jnp.int32)[None, :]
+    row_of = col_ids // kc
+    col_of = col_ids - row_of * kc
 
-    rows = jnp.arange(p)
+    def cond(state):
+        step, _flat, _total, _mq, _mc, active = state
+        return (step < n_iter) & active
 
-    def body(step, state):
-        used_q, used_c, total, chosen = state
-        i = iq[:, step]
-        j = ic[:, step]
-        s = vals[:, step]
-        free = (
-            (s > 0.0)
-            & ~used_q[rows, i]
-            & ~used_c[rows, j]
+    def body(state):
+        step, flat, total, mq, mc, _active = state
+        best = jnp.max(flat, axis=1)  # (P,)
+        idx = jnp.min(
+            jnp.where(flat >= best[:, None], col_ids, kk), axis=1
+        ).astype(jnp.int32)
+        take = best > 0.0
+        total = total + jnp.where(take, best, 0.0)
+        i = idx // kc
+        j = idx - i * kc
+        mq = jax.lax.dynamic_update_index_in_dim(
+            mq, jnp.where(take, i, -1), step, axis=1
         )
-        total = total + jnp.where(free, s, 0.0)
-        used_q = used_q.at[rows, i].set(used_q[rows, i] | free)
-        used_c = used_c.at[rows, j].set(used_c[rows, j] | free)
-        chosen = chosen.at[:, step].set(free)
-        return used_q, used_c, total, chosen
+        mc = jax.lax.dynamic_update_index_in_dim(
+            mc, jnp.where(take, j, -1), step, axis=1
+        )
+        blocked = (row_of == i[:, None]) | (col_of == j[:, None])
+        flat = jnp.where(blocked & take[:, None], 0.0, flat)
+        return step + 1, flat, total, mq, mc, jnp.any(take)
 
     state = (
-        jnp.zeros((p, kq), bool),
-        jnp.zeros((p, kc), bool),
+        jnp.int32(0),
+        flat0,
         jnp.zeros((p,), jnp.float32),
-        jnp.zeros((p, m), bool),
+        jnp.full((p, n_iter), -1, jnp.int32),
+        jnp.full((p, n_iter), -1, jnp.int32),
+        jnp.bool_(True),
     )
-    used_q, used_c, total, chosen = jax.lax.fori_loop(0, m, body, state)
+    _, _, total, match_q, match_c, _ = jax.lax.while_loop(cond, body, state)
     if not return_matches:
         return total
-    match_q = jnp.where(chosen, iq, -1)
-    match_c = jnp.where(chosen, ic, -1)
     return total, match_q, match_c
 
 

@@ -406,7 +406,7 @@ class SpectralLibrary:
         vectors = np.asarray(
             vectorize_batch(
                 vparams,
-                vparams.bin_to_hash(),
+                vparams.tables(),
                 q_mz,
                 q_int,
                 n_peaks,

@@ -78,7 +78,7 @@ def main():
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(42)
     vparams = VectorizeParams(11.0, 2010.0, 0.04, HASH_LEN)
-    table = vparams.bin_to_hash()
+    table = vparams.tables()
 
     log(f"build synthetic library: {N_LIBRARY} spectra")
     lib_mz, lib_int, lib_ann, lib_n, lib_prec = synth_processed(
@@ -94,7 +94,7 @@ def main():
     # vector matrix (N x hash_len, hundreds of MB) never crosses the host
     # boundary.
     t0 = time.perf_counter()
-    table_d = jnp.asarray(table)
+    table_d = jax.tree.map(jnp.asarray, table)
     chunks = []
     for start in range(0, N_LIBRARY, 8192):
         chunks.append(

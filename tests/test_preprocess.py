@@ -31,10 +31,18 @@ def oracle_process(
     if not check(mz):
         return None
     if params.remove_precursor:
+        # spectrum_utils remove_precursor_peak(tol, "Da", isotope=2):
+        # precursor fragments at every charge 1..precursor_charge.
+        proton = 1.00727646677
+        neutron = 1.00335483507
+        neutral = (precursor_mz - proton) * precursor_charge
         keep = np.ones(len(mz), bool)
-        for iso in range(3):
-            target = precursor_mz + iso * 1.00335483507 / precursor_charge
-            keep &= np.abs(mz - target) > params.remove_precursor_tolerance
+        for c in range(1, precursor_charge + 1):
+            for iso in range(3):
+                target = (neutral + iso * neutron) / c + proton
+                keep &= (
+                    np.abs(mz - target) > params.remove_precursor_tolerance
+                )
         mz, intensity = mz[keep], intensity[keep]
         if not check(mz):
             return None
@@ -132,6 +140,32 @@ def test_remove_precursor():
     kept = np.asarray(out.mz[0, : int(out.n_peaks[0])])
     assert 499.8 not in kept and 500.2 not in kept
     assert int(out.n_peaks[0]) == 5
+
+
+def test_remove_precursor_reduced_charges():
+    # A charge-2 precursor at 500 m/z also has a singly-charged precursor
+    # fragment at (500 - proton) * 2 + proton ~= 998.993; with
+    # --remove_precursor both must go (ADVICE r1: only the precursor's own
+    # charge was removed).
+    proton = 1.00727646677
+    params = PreprocessParams(
+        remove_precursor=True, remove_precursor_tolerance=0.5,
+        min_peaks=5, min_mz_range=100.0,
+    )
+    singly = (500.0 - proton) * 2 + proton
+    mz = np.sort(np.asarray(
+        [100.0, 200.0, 300.0, 500.2, singly + 0.1, 700.0, 800.0, 900.0]
+    ))
+    spec = Spectrum("a", 500.0, 2, mz, np.ones(len(mz)))
+    batch = pack_spectra([spec])
+    out = preprocess_batch(
+        params, batch.mz, batch.intensity, batch.ann_charge, batch.n_peaks,
+        batch.precursor_mz, batch.precursor_charge,
+    )
+    kept = np.asarray(out.mz[0, : int(out.n_peaks[0])])
+    assert not np.any(np.abs(kept - 500.2) < 1e-3)
+    assert not np.any(np.abs(kept - (singly + 0.1)) < 1e-3)
+    assert int(out.n_peaks[0]) == 6
 
 
 def test_top_n_and_noise_filter():

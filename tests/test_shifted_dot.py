@@ -158,6 +158,41 @@ def test_greedy_blocking_chain():
     np.testing.assert_allclose(total, 1.0, rtol=1e-6)
 
 
+def test_dense_pair_exceeds_old_entry_cap():
+    # Adversarially dense pair: a huge tolerance puts ALL k*k = 2500
+    # entries in-tolerance (far beyond the former 160-entry cap), so the
+    # greedy pass must walk deep through blocked entries.  The uncapped
+    # iterative-argmax formulation must match the uncapped oracle exactly.
+    rng = np.random.default_rng(17)
+    k = 50
+    q_mz = np.sort(rng.uniform(100, 1500, k)).astype(np.float32)
+    c_mz = np.sort(rng.uniform(100, 1500, k)).astype(np.float32)
+    q_int = rng.uniform(0.05, 1.0, k).astype(np.float32)
+    c_int = rng.uniform(0.05, 1.0, k).astype(np.float32)
+    q_int /= np.linalg.norm(q_int)
+    c_int /= np.linalg.norm(c_int)
+    c_ann = rng.integers(0, 3, k).astype(np.int32)
+    tol = 2000.0  # everything matches
+    charge = 2
+    exp_score, exp_matches = shifted_dot_oracle(
+        q_mz, q_int, c_mz, c_int, c_ann,
+        np.float32(800.0), np.float32(799.0), charge, tol, True,
+    )
+    assert len(exp_matches) == k  # fully dense: every peak assigned
+    total, match_q, match_c = shifted_dot_best_match(
+        q_mz[None], q_int[None], c_mz[None], c_int[None], c_ann[None],
+        np.asarray([800.0], np.float32), np.asarray([799.0], np.float32),
+        np.asarray([charge], np.int32), tol, charge + 1, True,
+    )
+    np.testing.assert_allclose(float(total[0]), exp_score, rtol=2e-5)
+    got = {
+        (int(i), int(j))
+        for i, j in zip(np.asarray(match_q[0]), np.asarray(match_c[0]))
+        if i >= 0
+    }
+    assert got == set(exp_matches)
+
+
 def test_invalid_pairs_get_neg_inf():
     q = np.zeros((2, 4), np.float32)
     scores = np.asarray(
