@@ -1,24 +1,34 @@
 """TPU-native IVF (inverted file) approximate-nearest-neighbor index.
 
 From-scratch replacement for the FAISS IndexIVFFlat dependency
-(reference spectral_library.py:133-183, 457-500):
+(reference spectral_library.py:133-183, 457-500), redesigned for the MXU:
 
-* **Train/add**: on-device spherical k-means (ops/kmeans.py) assigns every
-  library vector to a list; lists are stored *list-major* as a padded
-  (num_list, list_pad, D) block plus original-row id maps -- scanning a list
-  is one contiguous MXU matmul, no pointer chasing.
-* **Search**: queries are sorted by their top coarse centroid so nearby
-  queries share lists, then processed in tiles: each tile scans the union of
-  its members' probed lists (top `tile_lists` by votes) as blocked matmuls
-  with a per-query probed-list mask, maintaining a running top-k.  This
-  trades FAISS's per-query list walks for tile-coherent MXU scans -- the
-  idiomatic TPU formulation.
+* **Uniform capped lists** ("balanced IVF"): storage is a dense
+  ``(num_list, cap, D)`` block with ``cap ~ 1.5 x N / num_list`` -- one
+  list scan is one contiguous MXU matmul and skewed k-means assignments
+  cannot blow up memory (the round-1 max-length padding could reach GBs).
+  Vectors overflowing their nearest list *spill to their next-nearest
+  centroid's list* (ScaNN-style balanced assignment); nothing is dropped.
+* **Build**: k-means trains on a FAISS-style subsample
+  (max_points_per_centroid=256), full assignment runs as blocked MXU
+  matmuls, and list packing happens on device via argsort-by-assignment --
+  no per-list host passes.  Storage defaults to bfloat16 (the memory
+  analog of FAISS GPU ``useFloat16``, spectral_library.py:492-495) with
+  float32 MXU accumulation.
+* **Search**: query tiles (sorted by nearest centroid) scan the tile's
+  top-voted lists as blocked matmuls with the per-query probed-list mask
+  AND the precursor-mass window fused into the scan mask (reference
+  applies the window outside FAISS, spectral_library.py:443-446 -- fusing
+  it stops out-of-window neighbors from wasting top-k slots).  A
+  device-computed coverage flag detects queries whose own probed lists
+  fell outside the scanned budget; those rare rows re-run alone, where
+  the scanned set provably equals their probe set -- per-query
+  ``nprobe`` semantics are exact, never best-effort.
 * **Persistence**: one .h5 file per charge, named with the hyperparameter
   hash like the reference's .idxann files (spectral_library.py:98-116).
 
-Recall parity is measured against brute force (BASELINE.md: 75.1% of
-brute-force SSMs at k=1024), which tests/test_ivf.py checks on synthetic
-data.
+Recall parity is measured against brute force at fixed probe budgets
+(BASELINE.md: 75.1% of brute-force SSMs at k=1024); tests/test_ivf.py.
 """
 
 from __future__ import annotations
@@ -26,20 +36,24 @@ from __future__ import annotations
 import logging
 import os
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import h5py
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
-from ann_solo_tpu.ops.kmeans import spherical_kmeans
+from ann_solo_tpu.ops.kmeans import assign_topk_blocked, spherical_kmeans
 
 logger = logging.getLogger(__name__)
 
 _TILE_Q = 128  # queries per search tile
-_LIST_CHUNK = 8  # lists scanned per inner step
+_LIST_CHUNK = 16  # lists scanned per inner step
 _TILE_LIST_SLACK = 4  # tile scans up to slack * num_probe voted lists
+_FILL_SLACK = 1.5  # list capacity = slack * mean list size
+_N_CHOICES = 4  # spill candidates per vector (nearest centroids)
+_TRAIN_POINTS_PER_CENTROID = 256  # FAISS subsampling rule
 
 
 def ivf_index_filename(
@@ -49,63 +63,171 @@ def ivf_index_filename(
     return f"{base}_{config_hash[:7]}_{charge}.ivf.h5"
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+# --------------------------------------------------------------------- #
+# Build: balanced list filling on device
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _fill_lists(
+    choices: jnp.ndarray,  # (N, A) int32 nearest-centroid ranking
+    num_list: int,
+    cap: int,
+):
+    """Place each vector in its best-ranked list with a free slot.
+
+    Round ``a`` tries every still-unplaced vector's ``a``-th choice:
+    contenders for one list are ordered by a stable sort, the first
+    ``cap - used`` of them are accepted.  Returns (list, slot) per vector
+    (-1 = unplaced, handled by a host fallback) and per-list fill counts.
+    """
+    n, a_max = choices.shape
+    placed_list = jnp.full((n,), -1, jnp.int32)
+    placed_pos = jnp.full((n,), -1, jnp.int32)
+    used = jnp.zeros((num_list,), jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    for a in range(a_max):
+        cand = jnp.where(placed_list < 0, choices[:, a], num_list)
+        order = jnp.argsort(cand, stable=True)
+        sorted_cand = cand[order]
+        counts = (
+            jnp.zeros(num_list + 1, jnp.int32).at[cand].add(1)
+        )
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+        )
+        pos_in_seg = iota - starts[sorted_cand]
+        safe_cand = jnp.clip(sorted_cand, 0, num_list - 1)
+        slot = used[safe_cand] + pos_in_seg
+        accept = (sorted_cand < num_list) & (slot < cap)
+        placed_list = placed_list.at[order].set(
+            jnp.where(accept, sorted_cand, placed_list[order])
+        )
+        placed_pos = placed_pos.at[order].set(
+            jnp.where(accept, slot, placed_pos[order])
+        )
+        used = (
+            used
+            + jnp.zeros(num_list + 1, jnp.int32)
+            .at[jnp.where(accept, sorted_cand, num_list)]
+            .add(1)[:num_list]
+        )
+    return placed_list, placed_pos, used
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _pack_lists(
+    vectors: jnp.ndarray,  # (N, D) float32
+    flat_slot: jnp.ndarray,  # (N,) int64 destination slot per vector
+    num_list: int,
+    cap: int,
+    storage_dtype,
+):
+    """Scatter row ids then gather rows into the (L, cap, D) block.
+
+    One fused program: an eager op-by-op formulation compiles each step
+    separately and is orders of magnitude slower on tunneled TPUs.
+    """
+    n, d = vectors.shape
+    ids_flat = (
+        jnp.full((num_list * cap,), -1, jnp.int32)
+        .at[flat_slot]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
+    safe = jnp.clip(ids_flat, 0, n - 1)
+    padded_vectors = (
+        jnp.where((ids_flat >= 0)[:, None], vectors[safe], 0.0)
+        .astype(storage_dtype)
+        .reshape(num_list, cap, d)
+    )
+    return ids_flat, padded_vectors
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _pack_prec(prec, ids_flat, num_list: int, cap: int):
+    safe = jnp.clip(ids_flat, 0, prec.shape[0] - 1)
+    return jnp.where(ids_flat >= 0, prec[safe], 0.0).reshape(
+        num_list, cap
+    )
+
+
+# --------------------------------------------------------------------- #
+# Search
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def _ivf_search_tile(
-    padded_vectors: jnp.ndarray,  # (L, P, D)
-    padded_ids: jnp.ndarray,  # (L, P) int32, -1 = padding
-    centroids: jnp.ndarray,  # (L, D)
-    queries: jnp.ndarray,  # (TQ, D)
+    padded_vectors: jnp.ndarray,  # (L, cap, D) storage dtype
+    padded_ids: jnp.ndarray,  # (L, cap) int32, -1 = padding
+    padded_prec: jnp.ndarray,  # (L, cap) float32 precursor m/z (0 pad)
+    centroids: jnp.ndarray,  # (L, D) float32
+    queries: jnp.ndarray,  # (TQ, D) float32
+    q_prec: jnp.ndarray,  # (TQ,) float32 (ignored unless tol_val > 0)
+    charge: jnp.ndarray,  # () float32 (Da-mode charge scaling)
     num_probe: int,
-    tile_lists: int,
+    budget: int,  # lists scanned by this tile
     list_chunk: int,
     k: int,
+    tol_val: float,  # <= 0 disables the fused precursor window
+    tol_mode: str,
 ):
-    l, p, d = padded_vectors.shape
+    l, cap, d = padded_vectors.shape
     tq = queries.shape[0]
     coarse = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
     )  # (TQ, L)
-    _, probe_ids = jax.lax.top_k(coarse, min(num_probe, l))  # (TQ, probes)
-    # Per-query probed mask + tile-level votes.
+    _, probe_ids = jax.lax.top_k(coarse, min(num_probe, l))
     probed = jnp.zeros((tq, l), bool)
     rows = jnp.arange(tq)[:, None]
     probed = probed.at[rows, probe_ids].set(True)
     votes = jnp.sum(probed, axis=0)  # (L,)
-    n_tile_lists = min(tile_lists, l)
-    _, tile_list_ids = jax.lax.top_k(votes, n_tile_lists)  # (T_L,)
+    n_scan = min(budget, l)
+    _, scan_lists = jax.lax.top_k(votes, n_scan)
+    scanned = jnp.zeros((l,), bool).at[scan_lists].set(True)
+    # Per-query coverage: did any of MY probed lists miss the budget?
+    dropped = jnp.any(probed & ~scanned[None, :], axis=1)  # (TQ,)
 
-    n_chunks = -(-n_tile_lists // list_chunk)
+    n_chunks = -(-n_scan // list_chunk)
     pad_lists = n_chunks * list_chunk
-    tile_list_ids = jnp.concatenate(
-        [tile_list_ids,
-         jnp.zeros(pad_lists - n_tile_lists, tile_list_ids.dtype)]
+    scan_lists = jnp.concatenate(
+        [scan_lists, jnp.zeros(pad_lists - n_scan, scan_lists.dtype)]
     )
-    chunk_valid = (
-        jnp.arange(pad_lists) < n_tile_lists
-    )  # padding chunks masked
+    chunk_valid = jnp.arange(pad_lists) < n_scan
 
     def body(c, state):
         top_scores, top_ids = state
         lists = jax.lax.dynamic_slice(
-            tile_list_ids, (c * list_chunk,), (list_chunk,)
+            scan_lists, (c * list_chunk,), (list_chunk,)
         )
         lists_valid = jax.lax.dynamic_slice(
             chunk_valid, (c * list_chunk,), (list_chunk,)
         )
-        vecs = padded_vectors[lists]  # (C, P, D)
-        ids = padded_ids[lists]  # (C, P)
+        vecs = padded_vectors[lists]  # (C, cap, D)
+        ids = padded_ids[lists]  # (C, cap)
         scores = jnp.einsum(
             "qd,cpd->qcp", queries, vecs,
             preferred_element_type=jnp.float32,
-        )  # (TQ, C, P)
-        # Mask: query probed this list AND the row is a real vector AND the
-        # chunk slot is a real list.
-        q_probes_list = probed[:, lists]  # (TQ, C)
+        )  # (TQ, C, cap)
         mask = (
-            q_probes_list[:, :, None]
+            probed[:, lists][:, :, None]
             & (ids >= 0)[None, :, :]
             & lists_valid[None, :, None]
         )
+        if tol_val > 0:
+            prec = padded_prec[lists]  # (C, cap)
+            if tol_mode == "Da":
+                window = (
+                    jnp.abs(q_prec[:, None, None] - prec[None, :, :])
+                    * charge
+                    <= tol_val
+                )
+            else:  # ppm
+                window = (
+                    jnp.abs(q_prec[:, None, None] - prec[None, :, :])
+                    / jnp.maximum(prec[None, :, :], 1e-6)
+                    * 1e6
+                    <= tol_val
+                )
+            mask &= window
         scores = jnp.where(mask, scores, -jnp.inf)
         flat_scores = scores.reshape(tq, -1)
         flat_ids = jnp.broadcast_to(
@@ -122,7 +244,86 @@ def _ivf_search_tile(
         jnp.full((tq, k), -1, jnp.int32),
     )
     top_scores, top_ids = jax.lax.fori_loop(0, n_chunks, body, init)
-    return top_scores, jnp.where(top_scores > -jnp.inf, top_ids, -1)
+    top_ids = jnp.where(top_scores > -jnp.inf, top_ids, -1)
+    return top_scores, top_ids, dropped
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _ivf_search_perquery(
+    padded_vectors: jnp.ndarray,  # (L, cap, D)
+    padded_ids: jnp.ndarray,  # (L, cap)
+    padded_prec: jnp.ndarray,  # (L, cap)
+    centroids: jnp.ndarray,  # (L, D)
+    queries: jnp.ndarray,  # (B, D)
+    q_prec: jnp.ndarray,  # (B,)
+    charge: jnp.ndarray,  # ()
+    num_probe: int,
+    k: int,
+    tol_val: float,
+    tol_mode: str,
+):
+    """Exact per-query probe scan: each query gathers its OWN top
+    `num_probe` lists (uniform caps make the gather static-shape) inside
+    one `lax.scan` -- the batched fallback for query sets too divergent
+    for tile-level list sharing, and a correctness oracle for the tiles.
+    """
+    l, cap, d = padded_vectors.shape
+    p = min(num_probe, l)
+    coarse = jnp.dot(
+        queries, centroids.T, preferred_element_type=jnp.float32
+    )
+    _, probe_ids = jax.lax.top_k(coarse, p)  # (B, P)
+    k_eff = min(k, p * cap)
+
+    # Process queries in small groups: amortizes scan-step overhead while
+    # keeping the per-group gather (G * P * cap * D) VMEM-sized.
+    b = queries.shape[0]
+    g = 8 if b % 8 == 0 else 1
+
+    def group(carry, inp):
+        q, qp, probes = inp  # (G, D), (G,), (G, P)
+        vecs = padded_vectors[probes]  # (G, P, cap, D)
+        ids = padded_ids[probes]  # (G, P, cap)
+        scores = jnp.einsum(
+            "gd,gpcd->gpc", q, vecs, preferred_element_type=jnp.float32
+        )
+        mask = ids >= 0
+        if tol_val > 0:
+            prec = padded_prec[probes]
+            if tol_mode == "Da":
+                mask &= (
+                    jnp.abs(qp[:, None, None] - prec) * charge <= tol_val
+                )
+            else:
+                mask &= (
+                    jnp.abs(qp[:, None, None] - prec)
+                    / jnp.maximum(prec, 1e-6) * 1e6
+                    <= tol_val
+                )
+        flat = jnp.where(mask, scores, -jnp.inf).reshape(q.shape[0], -1)
+        top_scores, pos = jax.lax.top_k(flat, k_eff)
+        top_ids = jnp.take_along_axis(
+            ids.reshape(q.shape[0], -1), pos, axis=1
+        )
+        top_ids = jnp.where(top_scores > -jnp.inf, top_ids, -1)
+        return carry, (top_scores, top_ids)
+
+    _, (scores, ids) = jax.lax.scan(
+        group, 0,
+        (
+            queries.reshape(b // g, g, d),
+            q_prec.reshape(b // g, g),
+            probe_ids.reshape(b // g, g, -1),
+        ),
+    )
+    scores = scores.reshape(b, k_eff)
+    ids = ids.reshape(b, k_eff)
+    if k_eff < k:
+        scores = jnp.pad(
+            scores, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf
+        )
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return scores, ids
 
 
 class IvfIndex:
@@ -131,15 +332,34 @@ class IvfIndex:
     def __init__(
         self,
         centroids: np.ndarray,
-        padded_vectors: np.ndarray,
-        padded_ids: np.ndarray,
+        padded_vectors: np.ndarray,  # (L, cap, D)
+        padded_ids: np.ndarray,  # (L, cap)
         num_probe: int,
+        padded_prec: Optional[np.ndarray] = None,  # (L, cap)
     ):
         self.centroids = centroids
         self.padded_vectors = padded_vectors
         self.padded_ids = padded_ids
         self.num_probe = num_probe
+        if padded_prec is None:
+            padded_prec = np.zeros(padded_ids.shape, np.float32)
+        self.padded_prec = padded_prec
         self._device = None
+
+    @property
+    def num_list(self) -> int:
+        return self.padded_vectors.shape[0]
+
+    @property
+    def bytes_per_vector(self) -> float:
+        """Storage bytes per *indexed* vector incl. padding overhead."""
+        n = int(np.sum(np.asarray(self.padded_ids) >= 0))
+        total = (
+            np.asarray(self.padded_vectors).nbytes
+            + np.asarray(self.padded_ids).nbytes
+            + np.asarray(self.padded_prec).nbytes
+        )
+        return total / max(n, 1)
 
     def device_arrays(self):
         """Index blocks resident on the default device (uploaded once)."""
@@ -147,7 +367,8 @@ class IvfIndex:
             self._device = (
                 jnp.asarray(self.padded_vectors),
                 jnp.asarray(self.padded_ids),
-                jnp.asarray(self.centroids),
+                jnp.asarray(self.padded_prec),
+                jnp.asarray(self.centroids, jnp.float32),
             )
         return self._device
 
@@ -158,44 +379,83 @@ class IvfIndex:
         cls,
         vectors,
         config,
+        precursor_mz=None,
         seed: int = 42,
+        storage_dtype=ml_dtypes.bfloat16,
     ) -> "IvfIndex":
-        """Train the quantizer and pack lists (reference's train/add,
-        spectral_library.py:163-181).
+        """Train the quantizer and pack balanced lists (the reference's
+        FAISS train/add, spectral_library.py:163-181).
 
-        Accepts NumPy or device arrays; the vector matrix never leaves the
-        device -- only the (N,) assignment vector is downloaded to compute
-        the list layout, and the padded list-major blocks are built with an
-        on-device gather.
+        Everything heavy runs on device: subsampled k-means training,
+        blocked top-A centroid assignment, sort-based balanced list
+        filling, and the final gather into the (L, cap, D) block.  Only
+        assignment *failures* (vectors whose A=4 nearest lists are all
+        full -- rare) fall back to a host pass.
         """
         num_list = int(config.num_list)
-        logger.info(
-            "Train IVF index: %d vectors, %d lists", len(vectors), num_list
-        )
         vectors_d = jnp.asarray(vectors, jnp.float32)
-        centroids, assignments = spherical_kmeans(
-            vectors_d, num_list, seed=seed
+        n, d = vectors_d.shape
+        cap = max(8, int(-(-_FILL_SLACK * n / num_list // 8) * 8))
+        logger.info(
+            "Train IVF index: %d vectors, %d lists (cap %d)",
+            n, num_list, cap,
         )
-        assignments = np.asarray(assignments)  # (N,) int32: small download
-        counts = np.bincount(assignments, minlength=num_list)
-        list_pad = max(8, int(-(-counts.max() // 8) * 8))
-        padded_ids = np.full((num_list, list_pad), -1, np.int32)
-        for list_id in range(num_list):
-            members = np.nonzero(assignments == list_id)[0]
-            padded_ids[list_id, : len(members)] = members
-        ids_d = jnp.asarray(padded_ids)
-        padded_vectors_d = jnp.where(
-            (ids_d >= 0)[:, :, None],
-            vectors_d[jnp.clip(ids_d, 0, len(assignments) - 1)],
-            0.0,
+        centroids, _ = spherical_kmeans(
+            vectors_d, num_list, seed=seed,
+            max_points_per_centroid=_TRAIN_POINTS_PER_CENTROID,
         )
+        choices = assign_topk_blocked(
+            vectors_d, centroids, min(_N_CHOICES, num_list)
+        )
+        placed_list, placed_pos, used = _fill_lists(choices, num_list, cap)
+        placed_list = np.array(placed_list)  # writable host copies
+        placed_pos = np.array(placed_pos)
+        unplaced = np.nonzero(placed_list < 0)[0]
+        if len(unplaced):
+            # All A choices full: place into any list with free slots.
+            used_np = np.asarray(used).copy()
+            order = np.argsort(used_np)
+            free_slots = []
+            for list_id in order:
+                free_slots.extend(
+                    (list_id, pos)
+                    for pos in range(used_np[list_id], cap)
+                )
+                if len(free_slots) >= len(unplaced):
+                    break
+            if len(free_slots) < len(unplaced):
+                raise RuntimeError(
+                    "IVF capacity exhausted; raise _FILL_SLACK"
+                )
+            for row, (list_id, pos) in zip(unplaced, free_slots):
+                placed_list[row] = list_id
+                placed_pos[row] = pos
+            logger.debug(
+                "IVF spill fallback placed %d vectors", len(unplaced)
+            )
+        flat_slot = (
+            placed_list.astype(np.int64) * cap + placed_pos
+        )
+        ids_flat, padded_vectors = _pack_lists(
+            vectors_d, jnp.asarray(flat_slot), num_list, cap,
+            storage_dtype,
+        )
+        padded_ids = ids_flat.reshape(num_list, cap)
+        if precursor_mz is not None:
+            padded_prec = _pack_prec(
+                jnp.asarray(precursor_mz, jnp.float32), ids_flat,
+                num_list, cap,
+            )
+        else:
+            padded_prec = jnp.zeros((num_list, cap), jnp.float32)
+        spilled = int(np.sum(placed_list != np.asarray(choices[:, 0])))
         logger.debug(
-            "IVF lists: max=%d mean=%.1f pad=%d fill=%.2f",
-            counts.max(), counts.mean(), list_pad,
-            counts.mean() / max(list_pad, 1),
+            "IVF lists: cap=%d fill=%.2f spilled=%d (%.2f%%)",
+            cap, n / (num_list * cap), spilled, 100.0 * spilled / max(n, 1),
         )
         return cls(
-            centroids, padded_vectors_d, ids_d, int(config.num_probe)
+            np.asarray(centroids), padded_vectors, padded_ids,
+            int(config.num_probe), padded_prec,
         )
 
     @classmethod
@@ -231,28 +491,46 @@ class IvfIndex:
                 )
             )
         vectors = jnp.concatenate(chunks, axis=0)
-        index = cls.build(vectors, config)
+        index = cls.build(
+            vectors, config,
+            precursor_mz=np.asarray(lib.precursor_mz, np.float32),
+        )
         index.save(filename)
         return index
 
     def save(self, filename: str) -> None:
         with h5py.File(filename, "w") as f:
             f.create_dataset("centroids", data=np.asarray(self.centroids))
-            f.create_dataset(
-                "padded_vectors", data=np.asarray(self.padded_vectors)
-            )
+            vectors = np.asarray(self.padded_vectors)
+            if vectors.dtype == ml_dtypes.bfloat16:
+                ds = f.create_dataset(
+                    "padded_vectors_bf16", data=vectors.view(np.uint16)
+                )
+                ds.attrs["dtype"] = "bfloat16"
+            else:
+                f.create_dataset("padded_vectors", data=vectors)
             f.create_dataset(
                 "padded_ids", data=np.asarray(self.padded_ids)
+            )
+            f.create_dataset(
+                "padded_prec", data=np.asarray(self.padded_prec)
             )
 
     @classmethod
     def load(cls, filename: str, num_probe: int) -> "IvfIndex":
         with h5py.File(filename, "r") as f:
+            if "padded_vectors_bf16" in f:
+                vectors = (
+                    f["padded_vectors_bf16"][()].view(ml_dtypes.bfloat16)
+                )
+            else:
+                vectors = f["padded_vectors"][()]
             return cls(
                 f["centroids"][()],
-                f["padded_vectors"][()],
+                vectors,
                 f["padded_ids"][()],
                 num_probe,
+                f["padded_prec"][()] if "padded_prec" in f else None,
             )
 
     # ------------------------------------------------------------------ #
@@ -262,18 +540,51 @@ class IvfIndex:
         queries: np.ndarray,
         k: int,
         num_probe: Optional[int] = None,
+        q_prec: Optional[np.ndarray] = None,
+        charge: float = 1.0,
+        tol_val: float = 0.0,
+        tol_mode: str = "Da",
     ) -> np.ndarray:
         """Top-k neighbor row ids per query ((B, k) int32, -1 padded).
 
         Queries are sorted by their nearest centroid so tiles probe
-        coherent list unions; results are returned in input order.
+        coherent list unions; results return in input order.  When
+        `tol_val` > 0, the precursor window (|q - l| * charge <= tol in
+        Da mode, ppm otherwise) is fused into the scan mask.  Per-query
+        probe semantics are exact: tile-budget overflow is detected on
+        device and the affected queries re-run alone, where the scanned
+        set equals their own top-num_probe lists.
         """
-        num_probe = num_probe or self.num_probe
+        ids, _ = self.search_with_scores(
+            queries, k, num_probe, q_prec, charge, tol_val, tol_mode
+        )
+        return ids
+
+    def search_with_scores(
+        self,
+        queries: np.ndarray,
+        k: int,
+        num_probe: Optional[int] = None,
+        q_prec: Optional[np.ndarray] = None,
+        charge: float = 1.0,
+        tol_val: float = 0.0,
+        tol_mode: str = "Da",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        num_probe = int(num_probe or self.num_probe)
         b = len(queries)
         if b == 0:
-            return np.zeros((0, k), np.int32)
+            return (
+                np.zeros((0, k), np.int32),
+                np.zeros((0, k), np.float32),
+            )
         queries = np.asarray(queries, np.float32)
-        vectors_d, ids_d, centroids_d = self.device_arrays()
+        if q_prec is None:
+            q_prec = np.zeros(b, np.float32)
+            tol_val = 0.0
+        q_prec = np.asarray(q_prec, np.float32)
+        vectors_d, ids_d, prec_d, centroids_d = self.device_arrays()
+        charge_d = jnp.float32(charge)
+        l = self.num_list
         top1 = np.asarray(
             jnp.argmax(
                 jnp.dot(jnp.asarray(queries), centroids_d.T,
@@ -282,31 +593,66 @@ class IvfIndex:
             )
         )
         order = np.argsort(top1, kind="stable")
-        n_lists = self.padded_vectors.shape[0]
-        # Budget of lists scanned per tile: covers the tile's probe union
-        # in the sparse-probe regime; degrades to a full (masked) scan when
-        # num_probe is a large fraction of num_list, where a full MXU scan
-        # is the faster plan anyway.
-        tile_lists = min(
-            n_lists,
-            max(_TILE_LIST_SLACK * num_probe, num_probe + 8),
-        )
-        out = np.full((b, k), -1, np.int32)
+        budget = min(l, max(_TILE_LIST_SLACK * num_probe, num_probe + 8))
+        out_ids = np.full((b, k), -1, np.int32)
+        out_scores = np.full((b, k), -np.inf, np.float32)
+        retry_rows = []
+        tiles_degenerate = False
         for start in range(0, b, _TILE_Q):
             rows = order[start : start + _TILE_Q]
+            if tiles_degenerate:
+                # The query set shares too few lists for tile-level
+                # sharing (first tile dropped most rows): skip straight
+                # to the exact per-query gather scan.
+                retry_rows.extend(rows)
+                continue
             tile = queries[rows]
+            tile_prec = q_prec[rows]
             if len(tile) < _TILE_Q:  # pad tail tile to the compiled shape
+                pad = _TILE_Q - len(tile)
                 tile = np.concatenate(
-                    [tile,
-                     np.zeros((_TILE_Q - len(tile), tile.shape[1]),
-                              np.float32)]
+                    [tile, np.zeros((pad, tile.shape[1]), np.float32)]
                 )
-            _, ids = _ivf_search_tile(
-                vectors_d, ids_d, centroids_d,
-                tile, num_probe, tile_lists, _LIST_CHUNK, k,
+                tile_prec = np.concatenate(
+                    [tile_prec, np.zeros(pad, np.float32)]
+                )
+            scores, ids, dropped = _ivf_search_tile(
+                vectors_d, ids_d, prec_d, centroids_d,
+                tile, tile_prec, charge_d,
+                num_probe, budget, _LIST_CHUNK, k, tol_val, tol_mode,
             )
-            out[rows] = np.asarray(ids)[: len(rows)]
-        return out
+            dropped = np.asarray(dropped)[: len(rows)]
+            out_ids[rows] = np.asarray(ids)[: len(rows)]
+            out_scores[rows] = np.asarray(scores)[: len(rows)]
+            retry_rows.extend(rows[dropped])
+            if start == 0 and budget < l and dropped.mean() > 0.5:
+                tiles_degenerate = True
+        if retry_rows and budget < l:
+            # Exact batched fallback: queries whose probes overflowed the
+            # tile budget re-run through the per-query gather scan (their
+            # own top-num_probe lists, nothing shared, nothing dropped).
+            logger.debug(
+                "IVF probe-budget overflow for %d/%d queries; "
+                "per-query rerun", len(retry_rows), b,
+            )
+            retry_rows = np.asarray(retry_rows)
+            # Pad the retry set to a power of two: bounded recompiles.
+            n_retry = len(retry_rows)
+            n_pad = 1
+            while n_pad < n_retry:
+                n_pad *= 2
+            padded_rows = np.concatenate(
+                [retry_rows, np.full(n_pad - n_retry, retry_rows[0])]
+            )
+            scores, ids = _ivf_search_perquery(
+                vectors_d, ids_d, prec_d, centroids_d,
+                jnp.asarray(queries[padded_rows]),
+                jnp.asarray(q_prec[padded_rows]),
+                charge_d, num_probe, k, tol_val, tol_mode,
+            )
+            out_ids[retry_rows] = np.asarray(ids)[:n_retry]
+            out_scores[retry_rows] = np.asarray(scores)[:n_retry]
+        return out_ids, out_scores
 
 
 def bruteforce_search(
@@ -315,12 +661,7 @@ def bruteforce_search(
     k: int,
     block: int = 16384,
 ) -> np.ndarray:
-    """Exact max-inner-product top-k (oracle for IVF recall tests).
-
-    Also the fast path when num_probe is a large fraction of num_list: one
-    tiled MXU matmul beats gather-based list scans at moderate library
-    sizes.
-    """
+    """Exact max-inner-product top-k (oracle for IVF recall tests)."""
     queries = jnp.asarray(queries, jnp.float32)
     n = library_vectors.shape[0]
     k = min(k, n)

@@ -65,20 +65,68 @@ def _kmeans_fit(
     return centroids, assign(centroids)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _assign_topk_block(vectors, centroids, k_choices: int):
+    scores = jnp.dot(
+        vectors, centroids.T, preferred_element_type=jnp.float32
+    )
+    _, ids = jax.lax.top_k(scores, k_choices)
+    return ids.astype(jnp.int32)
+
+
+def assign_topk_blocked(
+    vectors, centroids, k_choices: int, block: int = 65536
+):
+    """Top-`k_choices` nearest centroids per vector ((N, A) int32).
+
+    Blocked MXU matmuls over the row axis; inputs may be device arrays
+    (results stay on device).
+    """
+    vectors = jnp.asarray(vectors, jnp.float32)
+    n = vectors.shape[0]
+    if n <= block:
+        return _assign_topk_block(vectors, centroids, k_choices)
+    outs = [
+        _assign_topk_block(
+            vectors[start : start + block], centroids, k_choices
+        )
+        for start in range(0, n, block)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
 def spherical_kmeans(
     vectors,
     n_clusters: int,
     n_iter: int = 25,
     seed: int = 42,
+    max_points_per_centroid: int = 0,
 ):
     """Train spherical k-means; returns (centroids (L, D), assignments (N,)).
 
     Accepts a NumPy or device array; all heavy data stays on device (only
     the small centroid/init blocks cross the host boundary).
     Initialization samples distinct vectors (FAISS-style random init).
+    With `max_points_per_centroid` > 0 the fit runs on a random subsample
+    of at most `n_clusters * max_points_per_centroid` vectors (FAISS's
+    subsampling rule) and only the returned assignments cover all rows.
     """
     vectors = jnp.asarray(vectors, jnp.float32)
     n, d = vectors.shape
+    cap = (
+        n_clusters * max_points_per_centroid
+        if max_points_per_centroid > 0
+        else n
+    )
+    if n > cap:
+        rng_sub = np.random.RandomState(seed + 1)
+        sub_idx = rng_sub.choice(n, size=cap, replace=False)
+        centroids, _ = spherical_kmeans(
+            vectors[jnp.asarray(np.sort(sub_idx))], n_clusters,
+            n_iter=n_iter, seed=seed,
+        )
+        assignments = assign_topk_blocked(vectors, centroids, 1)[:, 0]
+        return centroids, assignments
     rng = np.random.RandomState(seed)
     init_idx = rng.choice(n, size=min(n_clusters, n), replace=False)
     init = vectors[jnp.asarray(init_idx)]

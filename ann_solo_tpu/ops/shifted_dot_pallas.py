@@ -35,7 +35,7 @@ PAIR_BLOCK = 128
 def _kernel(
     q_mz_ref, q_int_ref, c_mz_ref, c_int_ref, c_ann_ref,
     q_prec_ref, c_prec_ref, charge_ref,
-    out_ref, scratch_ref,
+    out_ref,
     *, fragment_mz_tolerance: float, num_shifts: int, allow_shift: bool,
 ):
     p, k = q_mz_ref.shape
@@ -51,62 +51,39 @@ def _kernel(
         shifted_active = jnp.abs(prec_diff) >= tol  # (P, 1)
         ann = c_ann_ref[:]  # (P, K)
 
-    # Mosaic constraints shape this loop: lane stores must be 128-aligned,
-    # so `rows_per_store` query-peak rows (each k lanes) are built per
-    # iteration; and dynamic lane extraction is done as a one-hot matmul
-    # (MXU) rather than a lane shuffle.  (A single-shot formulation via
-    # (K, K*K) one-hot expansion matmuls is algebraically nicer but sends
-    # the Mosaic compiler into a multi-minute compile -- the small per-row
-    # loop compiles in seconds and runs at the same speed.)
+    # Build the flattened (P, K*K) match-score matrix with a statically
+    # unrolled row loop: row i uses the STATIC lane slice q_*[:, i:i+1],
+    # which Mosaic lowers reliably.  (The round-1 formulation -- a
+    # fori_loop extracting rows via one-hot matmuls and storing to
+    # dynamic lane offsets of a VMEM scratch -- compiled cleanly but
+    # produced wrong values on real TPUs, caught only by a hardware
+    # accuracy check; keep this kernel free of dynamic lane stores.)
     kk = k * k
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    parts = []
+    for i in range(k):
+        q_mz_i = q_mz[:, i : i + 1]  # (P, 1)
+        q_int_i = q_int[:, i : i + 1]
+        diff = q_mz_i - c_mz  # (P, K)
+        best_mult = (jnp.abs(diff) <= tol).astype(jnp.float32)
+        if shifted:
+            for s in range(1, num_shifts):
+                offset = prec_diff / jnp.float32(s)  # (P, 1)
+                within = jnp.abs(diff - offset) <= tol
+                mult = jnp.where(
+                    ann == s, 1.0,
+                    jnp.where(ann == 0, 2.0 / 3.0, 0.0),
+                )
+                active = shifted_active & (jnp.float32(s) <= charge)
+                best_mult = jnp.maximum(
+                    best_mult, jnp.where(within & active, mult, 0.0)
+                )
+        parts.append(best_mult * q_int_i * c_int)  # (P, K)
+    flat0 = jnp.concatenate(parts, axis=1)  # (P, K*K)
 
-    def select_col(matrix, i):
-        onehot = (lane_iota == i).astype(jnp.float32)  # (K, 1)
-        return jnp.dot(
-            matrix, onehot, preferred_element_type=jnp.float32
-        )  # (P, 1)
-
-    rows_per_store = max(1, 128 // k)
-    n_stores = k // rows_per_store
-    store_width = rows_per_store * k
-
-    def build_rows(i2, _):
-        parts = []
-        for r in range(rows_per_store):
-            i = i2 * rows_per_store + r
-            q_mz_i = select_col(q_mz, i)  # (P, 1)
-            q_int_i = select_col(q_int, i)
-            diff = q_mz_i - c_mz  # (P, K)
-            best_mult = (jnp.abs(diff) <= tol).astype(jnp.float32)
-            if shifted:
-                for s in range(1, num_shifts):
-                    offset = prec_diff / jnp.float32(s)  # (P, 1)
-                    within = jnp.abs(diff - offset) <= tol
-                    mult = jnp.where(
-                        ann == s, 1.0,
-                        jnp.where(ann == 0, 2.0 / 3.0, 0.0),
-                    )
-                    active = shifted_active & (jnp.float32(s) <= charge)
-                    best_mult = jnp.maximum(
-                        best_mult, jnp.where(within & active, mult, 0.0)
-                    )
-            parts.append(best_mult * q_int_i * c_int)  # (P, K)
-        block = parts[0] if len(parts) == 1 else jnp.concatenate(
-            parts, axis=1
-        )
-        scratch_ref[
-            :, pl.ds(pl.multiple_of(i2 * store_width, store_width),
-                     store_width)
-        ] = block
-        return 0
-
-    jax.lax.fori_loop(0, n_stores, build_rows, 0)
-
-    # Greedy one-to-one assignment: iterative masked argmax over the
-    # flattened (P, K*K) block.  At most K matches exist; blocked entries
-    # are zeroed, so a zero max means done (padded peaks have zero
-    # intensity and never win).
+    # Greedy one-to-one assignment: iterative masked argmax with the
+    # score matrix carried as a loop value (VMEM-resident).  At most K
+    # matches exist; blocked entries are zeroed, so a zero max means done
+    # (padded peaks have zero intensity and never win).
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (p, kk), 1)
     row_ids = col_ids // k
     col_mod = col_ids - row_ids * k
@@ -115,12 +92,11 @@ def _kernel(
     # typical candidates have only a handful of matches, so this usually
     # terminates after far fewer than K iterations.
     def greedy_cond(state):
-        i, _total, active = state
+        i, _flat, _total, active = state
         return (i < k) & active
 
     def greedy_body(state):
-        i, total, _active = state
-        flat = scratch_ref[:]
+        i, flat, total, _active = state
         best = jnp.max(flat, axis=1, keepdims=True)  # (P, 1)
         is_best = flat >= best
         idx = jnp.min(
@@ -132,13 +108,14 @@ def _kernel(
         row = idx // k
         col = idx - row * k
         blocked = (row_ids == row) | (col_mod == col)
-        scratch_ref[:] = jnp.where(blocked & take, 0.0, flat)
-        return i + 1, total, jnp.any(take)
+        flat = jnp.where(blocked & take, 0.0, flat)
+        return i + 1, flat, total, jnp.any(take)
 
-    _, total, _ = jax.lax.while_loop(
+    _, _, total, _ = jax.lax.while_loop(
         greedy_cond,
         greedy_body,
-        (jnp.int32(0), jnp.zeros((p, 1), jnp.float32), jnp.bool_(True)),
+        (jnp.int32(0), flat0, jnp.zeros((p, 1), jnp.float32),
+         jnp.bool_(True)),
     )
     out_ref[:] = total
 
@@ -199,9 +176,6 @@ def shifted_dot_scores_pallas(
         ],
         out_specs=scalar_spec,
         out_shape=jax.ShapeDtypeStruct((p, 1), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((PAIR_BLOCK, k_pad * k_pad), jnp.float32)
-        ],
         interpret=interpret,
     )(
         q_mz.astype(jnp.float32),

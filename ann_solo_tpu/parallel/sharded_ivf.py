@@ -29,12 +29,17 @@ except ImportError:  # older jax
 
 def _local_ivf_scan(
     queries,  # (B_l, D) local query tile
+    query_prec,  # (B_l,) precursor m/z (ignored unless tol_val > 0)
     padded_vectors,  # (L_l, P, D) lists owned by this shard
     padded_ids,  # (L_l, P) global row ids, -1 padded
+    padded_prec,  # (L_l, P) precursor m/z per stored vector
     centroids,  # (L, D) replicated
     num_probe: int,
     k: int,
     lists_per_shard: int,
+    charge: float,
+    tol_val: float,
+    tol_mode: str,
 ):
     l_total = centroids.shape[0]
     b = queries.shape[0]
@@ -57,6 +62,21 @@ def _local_ivf_scan(
         preferred_element_type=jnp.float32,
     )  # (B, L_l, P)
     mask = local_probed[:, :, None] & (padded_ids >= 0)[None, :, :]
+    if tol_val > 0:
+        # Precursor window fused into the shard-local scan mask (same
+        # semantics as the single-chip index, ivf._ivf_search_tile).
+        if tol_mode == "Da":
+            mask &= (
+                jnp.abs(query_prec[:, None, None] - padded_prec[None])
+                * charge
+                <= tol_val
+            )
+        else:
+            mask &= (
+                jnp.abs(query_prec[:, None, None] - padded_prec[None])
+                / jnp.maximum(padded_prec[None], 1e-6) * 1e6
+                <= tol_val
+            )
     scores = jnp.where(mask, scores, -jnp.inf).reshape(b, l_l * p)
     flat_ids = jnp.broadcast_to(
         padded_ids.reshape(-1)[None, :], (b, l_l * p)
@@ -77,10 +97,12 @@ def _local_ivf_scan(
     return jnp.where(top_scores > -jnp.inf, top_ids, -1), top_scores
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12))
 def _sharded_ivf_impl(
-    mesh, queries, padded_vectors, padded_ids, centroids,
+    mesh, queries, query_prec, padded_vectors, padded_ids, padded_prec,
+    centroids,
     num_probe: int, k: int, lists_per_shard: int,
+    charge: float, tol_val: float, tol_mode: str,
 ):
     fn = shard_map(
         partial(
@@ -88,18 +110,118 @@ def _sharded_ivf_impl(
             num_probe=num_probe,
             k=k,
             lists_per_shard=lists_per_shard,
+            charge=charge,
+            tol_val=tol_val,
+            tol_mode=tol_mode,
         ),
         mesh=mesh,
         in_specs=(
             P("dp", None),  # queries
+            P("dp"),  # query precursor m/z
             P("lib", None, None),  # lists
             P("lib", None),  # ids
+            P("lib", None),  # stored precursor m/z
             P(None, None),  # centroids replicated
         ),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
     )
-    return fn(queries, padded_vectors, padded_ids, centroids)
+    return fn(
+        queries, query_prec, padded_vectors, padded_ids, padded_prec,
+        centroids,
+    )
+
+
+class ShardedIvfIndex:
+    """A host IvfIndex with its blocks placed once across the mesh."""
+
+    def __init__(self, mesh: Mesh, index):
+        n_lists = index.padded_vectors.shape[0]
+        lib_shards = mesh.shape["lib"]
+        if n_lists % lib_shards != 0:
+            raise ValueError(
+                f"num_list={n_lists} must divide lib shards={lib_shards}"
+            )
+        self.mesh = mesh
+        self.num_probe = index.num_probe
+        self.lists_per_shard = n_lists // lib_shards
+        self.vectors_s = jax.device_put(
+            jnp.asarray(index.padded_vectors),
+            NamedSharding(mesh, P("lib", None, None)),
+        )
+        self.ids_s = jax.device_put(
+            jnp.asarray(index.padded_ids),
+            NamedSharding(mesh, P("lib", None)),
+        )
+        self.prec_s = jax.device_put(
+            jnp.asarray(index.padded_prec, jnp.float32),
+            NamedSharding(mesh, P("lib", None)),
+        )
+        self.centroids_s = jax.device_put(
+            jnp.asarray(index.centroids, jnp.float32),
+            NamedSharding(mesh, P()),
+        )
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        num_probe: int = 0,
+        q_prec=None,
+        charge: float = 1.0,
+        tol_val: float = 0.0,
+        tol_mode: str = "Da",
+    ) -> np.ndarray:
+        ids, _ = self.search_with_scores(
+            queries, k, num_probe, q_prec, charge, tol_val, tol_mode
+        )
+        return ids
+
+    def search_with_scores(
+        self,
+        queries: np.ndarray,
+        k: int,
+        num_probe: int = 0,
+        q_prec=None,
+        charge: float = 1.0,
+        tol_val: float = 0.0,
+        tol_mode: str = "Da",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        num_probe = int(num_probe or self.num_probe)
+        b = len(queries)
+        if b == 0:
+            return (
+                np.zeros((0, k), np.int32),
+                np.zeros((0, k), np.float32),
+            )
+        if q_prec is None:
+            q_prec = np.zeros(b, np.float32)
+            tol_val = 0.0
+        dp = self.mesh.shape["dp"]
+        b_pad = -(-b // dp) * dp
+        queries = np.asarray(queries, np.float32)
+        q_prec = np.asarray(q_prec, np.float32)
+        if b_pad != b:
+            queries = np.concatenate(
+                [queries,
+                 np.zeros((b_pad - b, queries.shape[1]), np.float32)]
+            )
+            q_prec = np.concatenate(
+                [q_prec, np.zeros(b_pad - b, np.float32)]
+            )
+        queries_s = jax.device_put(
+            jnp.asarray(queries), NamedSharding(self.mesh, P("dp", None))
+        )
+        q_prec_s = jax.device_put(
+            jnp.asarray(q_prec), NamedSharding(self.mesh, P("dp"))
+        )
+        ids, scores = _sharded_ivf_impl(
+            self.mesh, queries_s, q_prec_s,
+            self.vectors_s, self.ids_s, self.prec_s, self.centroids_s,
+            num_probe, k, self.lists_per_shard,
+            float(charge), float(tol_val), tol_mode,
+        )
+        return np.asarray(ids)[:b], np.asarray(scores)[:b]
 
 
 def sharded_ivf_search(
@@ -108,46 +230,18 @@ def sharded_ivf_search(
     queries: np.ndarray,
     k: int,
     num_probe: int = 0,
+    q_prec=None,
+    charge: float = 1.0,
+    tol_val: float = 0.0,
+    tol_mode: str = "Da",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Search a (host) IvfIndex with its lists sharded over the mesh.
 
     Returns ((B, k) global row ids, (B, k) scores).  The number of lists
     must divide the 'lib' mesh axis size; pad `num_list` accordingly at
-    build time.
+    build time.  Convenience wrapper over ShardedIvfIndex (which callers
+    should hold directly to keep the placed blocks resident).
     """
-    num_probe = num_probe or index.num_probe
-    n_lists = index.padded_vectors.shape[0]
-    lib_shards = mesh.shape["lib"]
-    if n_lists % lib_shards != 0:
-        raise ValueError(
-            f"num_list={n_lists} must divide lib shards={lib_shards}"
-        )
-    lists_per_shard = n_lists // lib_shards
-    b = len(queries)
-    dp = mesh.shape["dp"]
-    b_pad = -(-b // dp) * dp
-    if b_pad != b:
-        queries = np.concatenate(
-            [queries,
-             np.zeros((b_pad - b, queries.shape[1]), queries.dtype)]
-        )
-    queries_s = jax.device_put(
-        jnp.asarray(queries, jnp.float32),
-        NamedSharding(mesh, P("dp", None)),
+    return ShardedIvfIndex(mesh, index).search_with_scores(
+        queries, k, num_probe, q_prec, charge, tol_val, tol_mode
     )
-    vectors_s = jax.device_put(
-        jnp.asarray(index.padded_vectors),
-        NamedSharding(mesh, P("lib", None, None)),
-    )
-    ids_s = jax.device_put(
-        jnp.asarray(index.padded_ids),
-        NamedSharding(mesh, P("lib", None)),
-    )
-    centroids_s = jax.device_put(
-        jnp.asarray(index.centroids), NamedSharding(mesh, P())
-    )
-    ids, scores = _sharded_ivf_impl(
-        mesh, queries_s, vectors_s, ids_s, centroids_s,
-        num_probe, k, lists_per_shard,
-    )
-    return np.asarray(ids)[:b], np.asarray(scores)[:b]

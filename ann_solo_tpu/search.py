@@ -138,8 +138,40 @@ class SpectralLibrary:
         self._ann_indexes: Dict[int, object] = {}
         self._num_candidates = int(config.num_candidates)
         self._pair_batch = int(config.rescore_pair_batch)
+        self._mesh = None
         if config.mode == "ann":
+            self._mesh = self._make_library_mesh()
             self._prepare_ann_indexes()
+
+    @staticmethod
+    def _make_library_mesh():
+        """A (dp=1, lib=n) device mesh when sharding is requested.
+
+        --num_shards > 1 shards the per-charge IVF lists over that many
+        devices; 0 (the default) uses every available device; on a
+        single-device host the engine stays unsharded.
+        """
+        import jax
+
+        n = int(config.num_shards)
+        try:
+            n_avail = len(jax.devices())
+        except RuntimeError:
+            return None
+        if n == 0:
+            n = n_avail
+        if n <= 1:
+            return None
+        if n > n_avail:
+            logger.warning(
+                "--num_shards %d > %d available devices; not sharding",
+                n, n_avail,
+            )
+            return None
+        from ann_solo_tpu.parallel.mesh import make_mesh
+
+        logger.info("Sharding library over %d devices", n)
+        return make_mesh(n, dp_size=1)
 
     # ------------------------------------------------------------------ #
     # Library access
@@ -165,9 +197,21 @@ class SpectralLibrary:
             filename = ivf_index_filename(
                 self._filename, config_hash, charge
             )
-            self._ann_indexes[charge] = IvfIndex.load_or_build(
-                filename, lib, config
-            )
+            index = IvfIndex.load_or_build(filename, lib, config)
+            if self._mesh is not None:
+                if index.num_list % self._mesh.shape["lib"] == 0:
+                    from ann_solo_tpu.parallel.sharded_ivf import (
+                        ShardedIvfIndex,
+                    )
+
+                    index = ShardedIvfIndex(self._mesh, index)
+                else:
+                    logger.warning(
+                        "num_list=%d not divisible by %d library "
+                        "shards; charge %d index stays unsharded",
+                        index.num_list, self._mesh.shape["lib"], charge,
+                    )
+            self._ann_indexes[charge] = index
 
     def shutdown(self) -> None:
         self._charge_libs.clear()
@@ -341,15 +385,23 @@ class SpectralLibrary:
         )
 
         # Second filter: ANN neighbors (open mode only,
-        # spectral_library.py:431-446).
+        # spectral_library.py:431-446).  The fused path scores the whole
+        # (B, C) candidate matrix on device; the precursor window is
+        # already fused into the index scan mask.
         if (
             config.mode == "ann"
             and mode == "open"
             and charge in self._ann_indexes
         ):
-            pair_q, pair_c = self._ann_candidate_pairs(
-                batch, q_mz, q_int, lib, lo, hi, charge
+            cand_ids = self._ann_candidates(
+                batch, q_mz, q_int, lib, charge, tol_val, tol_mode
             )
+            with profiler.stage("exact rescoring"), device_trace():
+                best_idx, best_score, num_candidates_per_query = (
+                    self._rescore_candidate_matrix(
+                        q_mz, q_int, q_prec, lib, cand_ids, charge
+                    )
+                )
         else:
             counts = (hi - lo).astype(np.int64)
             pair_q = np.repeat(np.arange(b, dtype=np.int64), counts)
@@ -361,12 +413,11 @@ class SpectralLibrary:
                 if counts.sum() > 0
                 else np.zeros(0, np.int64)
             )
-
-        num_candidates_per_query = np.bincount(pair_q, minlength=b)
-        with profiler.stage("exact rescoring"), device_trace():
-            best_idx, best_score = self._rescore_pairs(
-                q_mz, q_int, q_prec, lib, pair_q, pair_c, charge
-            )
+            num_candidates_per_query = np.bincount(pair_q, minlength=b)
+            with profiler.stage("exact rescoring"), device_trace():
+                best_idx, best_score = self._rescore_pairs(
+                    q_mz, q_int, q_prec, lib, pair_q, pair_c, charge
+                )
 
         # Recompute peak matches for the best pairs only.
         has_match = best_idx >= 0
@@ -390,10 +441,12 @@ class SpectralLibrary:
                 num_candidates=int(num_candidates_per_query[i]),
             )
 
-    def _ann_candidate_pairs(
-        self, batch, q_mz, q_int, lib, lo, hi, charge
+    def _ann_candidates(
+        self, batch, q_mz, q_int, lib, charge, tol_val, tol_mode
     ):
-        """Intersect ANN neighbors with the precursor window."""
+        """Top-`num_candidates` ANN neighbors with the precursor window
+        fused into the index scan (reference applies it separately,
+        spectral_library.py:441-446)."""
         from ann_solo_tpu.models.vectorize import (
             VectorizeParams,
             vectorize_batch,
@@ -413,36 +466,62 @@ class SpectralLibrary:
             )
         )
         index = self._ann_indexes[charge]
-        neighbors = index.search(vectors, self._num_candidates)  # (B, C)
-        b, c = neighbors.shape
-        pair_q = np.repeat(np.arange(b, dtype=np.int64), c)
-        pair_c = neighbors.reshape(-1).astype(np.int64)
-        keep = (
-            (pair_c >= 0)
-            & (pair_c >= lo[pair_q])
-            & (pair_c < hi[pair_q])
-        )
-        return pair_q[keep], pair_c[keep]
+        q_prec = np.asarray([s.precursor_mz for s in batch], np.float32)
+        return index.search(
+            vectors, self._num_candidates,
+            q_prec=q_prec, charge=float(charge),
+            tol_val=float(tol_val), tol_mode=tol_mode,
+        )  # (B, C)
+
+    def _rescore_candidate_matrix(
+        self, q_mz, q_int, q_prec, lib, cand_ids, charge
+    ):
+        """Fused device rescoring of a dense (B, C) candidate matrix."""
+        import jax.numpy as jnp
+
+        from ann_solo_tpu.ops.rescore import rescore_candidate_matrix
+        from ann_solo_tpu.ops.shifted_dot_pallas import use_pallas_default
+
+        allow_shift = bool(config.allow_peak_shifts)
+        num_shifts = charge + 1 if allow_shift else 1
+        frag_tol = float(config.fragment_mz_tolerance)
+        lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d = lib.device_arrays()
+        b = q_mz.shape[0]
+        sub = 1024  # queries per device program (bounds gather memory)
+        outs = []
+        for start in range(0, b, sub):
+            stop = min(start + sub, b)
+            outs.append(
+                rescore_candidate_matrix(
+                    jnp.asarray(q_mz[start:stop]),
+                    jnp.asarray(q_int[start:stop]),
+                    jnp.asarray(q_prec[start:stop], jnp.float32),
+                    lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
+                    jnp.asarray(cand_ids[start:stop], jnp.int32),
+                    frag_tol, num_shifts, allow_shift,
+                    use_pallas_default(),
+                )
+            )
+        best_idx = np.concatenate([np.asarray(o[0]) for o in outs])
+        best_score = np.concatenate([np.asarray(o[1]) for o in outs])
+        n_cands = np.concatenate([np.asarray(o[2]) for o in outs])
+        return best_idx.astype(np.int64), best_score, n_cands
 
     def _rescore_pairs(
         self, q_mz, q_int, q_prec, lib, pair_q, pair_c, charge
     ):
         """Exact shifted-dot rescoring over pair chunks; best per query.
 
-        The library and query peak blocks stay device-resident; only the
-        pair index vectors are shipped per chunk
-        (ops/shifted_dot_pallas.gather_pair_scores).
+        The library and query peak blocks stay device-resident and the
+        per-query running best accumulates ON DEVICE
+        (ops/rescore.pair_chunk_update): the host streams pair-index
+        chunks without ever synchronizing on scores.
         """
         import jax.numpy as jnp
 
-        from ann_solo_tpu.ops.shifted_dot_pallas import (
-            gather_pair_scores,
-            use_pallas_default,
-        )
+        from ann_solo_tpu.ops.rescore import pair_chunk_update
 
         b = q_mz.shape[0]
-        best_score = np.full(b, -np.inf, np.float64)
-        best_idx = np.full(b, -1, np.int64)
         chunk = self._pair_batch
         allow_shift = bool(config.allow_peak_shifts)
         num_shifts = charge + 1 if allow_shift else 1
@@ -451,7 +530,8 @@ class SpectralLibrary:
         q_mz_d = jnp.asarray(q_mz)
         q_int_d = jnp.asarray(q_int)
         q_prec_d = jnp.asarray(q_prec, jnp.float32)
-        use_pallas = use_pallas_default()
+        best_score = jnp.full(b, -jnp.inf, jnp.float32)
+        best_idx = jnp.full(b, -1, jnp.int32)
         for start in range(0, len(pair_q), chunk):
             pq = pair_q[start : start + chunk]
             pc = pair_c[start : start + chunk]
@@ -460,27 +540,17 @@ class SpectralLibrary:
                 pad = chunk - n
                 pq = np.concatenate([pq, np.zeros(pad, np.int64)])
                 pc = np.concatenate([pc, np.zeros(pad, np.int64)])
-            valid = np.zeros(chunk, bool)
-            valid[:n] = True
-            scores = np.asarray(
-                gather_pair_scores(
-                    q_mz_d, q_int_d, q_prec_d,
-                    lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
-                    jnp.asarray(pq, jnp.int32),
-                    jnp.asarray(pc, jnp.int32),
-                    jnp.asarray(valid),
-                    frag_tol, num_shifts, allow_shift, use_pallas,
-                )
-            )[:n]
-            pq = pair_q[start : start + chunk][:n]
-            pc = pair_c[start : start + chunk][:n]
-            # Segment-max per query: grouped max, then first argmax winner.
-            np.maximum.at(best_score, pq, scores)
-            newly_best = scores >= best_score[pq]
-            # Ascending-score order so the final write per query is its max.
-            order = np.argsort(scores[newly_best], kind="stable")
-            best_idx[pq[newly_best][order]] = pc[newly_best][order]
-        return best_idx, best_score
+            best_score, best_idx = pair_chunk_update(
+                best_score, best_idx,
+                q_mz_d, q_int_d, q_prec_d,
+                lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
+                jnp.asarray(pq, jnp.int32), jnp.asarray(pc, jnp.int32),
+                jnp.int32(n), frag_tol, num_shifts, allow_shift,
+            )
+        return (
+            np.asarray(best_idx).astype(np.int64),
+            np.asarray(best_score, np.float64),
+        )
 
     def _best_pair_matches(
         self, q_mz, q_int, q_prec, lib, rows, cand_idx, charge

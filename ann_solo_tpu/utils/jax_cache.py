@@ -1,9 +1,14 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache (opt-in).
 
-Remote TPU compiles in tunneled environments can take minutes per new
-program shape; caching compiled executables on disk makes reruns (CLI
-invocations, benchmarks, the per-file fan-out production pattern) start in
-seconds.  Call once before building any jitted computation.
+Measured on the tunneled TPU environment this framework targets, the
+persistent cache is a trap: executables deserialized from disk by a new
+process stall or crash at dispatch because the serialized (AOT) program
+embeds a libtpu build that can differ from the terminal's (the same
+mismatch crashes loudly in `jax.device_put`, see round-1
+MULTICHIP_r01.json).  Fresh compiles of every program in this codebase
+take seconds, so caching is disabled unless the user explicitly points
+`ANN_SOLO_TPU_JAX_CACHE` at a directory (useful on non-tunneled hosts
+where client and runtime share one libtpu).
 """
 
 from __future__ import annotations
@@ -13,18 +18,13 @@ import os
 
 logger = logging.getLogger(__name__)
 
-_DEFAULT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-    ".jax_cache",
-)
-
 
 def enable_persistent_cache(path: str = "") -> None:
+    path = path or os.environ.get("ANN_SOLO_TPU_JAX_CACHE", "")
+    if not path:
+        return
     import jax
 
-    path = path or os.environ.get(
-        "ANN_SOLO_TPU_JAX_CACHE", _DEFAULT_DIR
-    )
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

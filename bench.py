@@ -1,21 +1,25 @@
-"""Headline benchmark: open-search queries/sec/chip on the device pipeline.
+"""Headline benchmark: open-search queries/sec/chip on the fused pipeline.
 
-Workload (mirrors the reference's default ANN operating point,
-BASELINE.md): a synthetic iPRG2012-scale charge partition (131,072 library
-spectra, hash_len=800, num_list=256, num_probe=128), open search +/-500 Da,
-num_candidates=1024 ANN candidates per query, exact shifted-dot rescoring
-(charge 2 -> 3 shift lanes) of every candidate, best-match selection.
+Workload (reference ANN operating point rescaled for TPU block sizes,
+BASELINE.md / notebooks/iprg2012_ann_hyperparameters.ipynb sweep grid):
+a synthetic iPRG2012-scale charge partition (131,072 library spectra,
+hash_len=800), open search +/-500 Da, IVF with num_list=2048 /
+num_probe=128 (~6% of lists scanned -- non-degenerate) and the precursor
+window fused into the scan mask, bf16 list storage, num_candidates=1024
+per query, exact shifted-dot rescoring (charge 2 -> 3 shift lanes) of the
+full (B, C) candidate matrix on device, best-match selection.
 
-The measured span is the on-device search pipeline per query batch:
-query vectorization -> IVF candidate selection -> precursor-window
-intersection -> exact shifted-dot rescoring -> best match.  Library build
-(k-means train/add) is reported separately in stderr.
+The measured span is the full per-batch pipeline: query vectorization ->
+IVF candidate selection (fused window) -> fused device rescoring -> best
+match.  Library build (k-means train + balanced list packing) is reported
+separately.
 
 vs_baseline: the reference GPU-FAISS pipeline processes iPRG2012
-(15,867 queries) in ~2.5 min end-to-end per JPR 2019 -> ~105 queries/sec on
-an NVIDIA GPU; BASELINE.md's north star asks for >=5x that per TPU chip.
+(15,867 queries) in ~2.5 min end-to-end per JPR 2019 -> ~105 queries/sec
+on an NVIDIA GPU; BASELINE.md's north star asks for >=5x that per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
+stage/MFU/build diagnostics}.
 """
 
 import json
@@ -28,16 +32,18 @@ REFERENCE_QPS = 105.0  # GPU-FAISS reference throughput (see module docstring)
 
 N_LIBRARY = 131072
 N_QUERIES = 1024
-N_BATCHES = 4
+N_BATCHES = 8
 K_PEAKS = 50
 HASH_LEN = 800
-NUM_LIST = 256
+NUM_LIST = 2048
 NUM_PROBE = 128
 NUM_CANDIDATES = 1024
 CHARGE = 2
 FRAG_TOL = 0.04
 OPEN_TOL_DA = 500.0
-PAIR_CHUNK = 16384
+
+# v5e peak: ~197 TFLOP/s bf16, ~99 TFLOP/s f32 (MFU denominators).
+PEAK_BF16 = 197e12
 
 
 def log(*args):
@@ -70,15 +76,13 @@ def main():
         VectorizeParams,
         vectorize_batch,
     )
-    from ann_solo_tpu.ops.shifted_dot_pallas import (
-        gather_pair_scores,
-        use_pallas_default,
-    )
+    from ann_solo_tpu.ops.rescore import rescore_candidate_matrix
+    from ann_solo_tpu.ops.shifted_dot_pallas import use_pallas_default
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(42)
     vparams = VectorizeParams(11.0, 2010.0, 0.04, HASH_LEN)
-    table = vparams.tables()
+    tables = jax.tree.map(jnp.asarray, vparams.tables())
 
     log(f"build synthetic library: {N_LIBRARY} spectra")
     lib_mz, lib_int, lib_ann, lib_n, lib_prec = synth_processed(
@@ -90,16 +94,13 @@ def main():
         lib_prec[order],
     )
 
-    # Library vectors are computed and kept on device end-to-end: the
-    # vector matrix (N x hash_len, hundreds of MB) never crosses the host
-    # boundary.
+    # Library vectors are computed and kept on device end-to-end.
     t0 = time.perf_counter()
-    table_d = jax.tree.map(jnp.asarray, table)
     chunks = []
     for start in range(0, N_LIBRARY, 8192):
         chunks.append(
             vectorize_batch(
-                vparams, table_d,
+                vparams, tables,
                 lib_mz[start : start + 8192],
                 lib_int[start : start + 8192],
                 lib_n[start : start + 8192],
@@ -108,7 +109,7 @@ def main():
     lib_vectors = jnp.concatenate(chunks)
     lib_vectors.block_until_ready()
     t_vec = time.perf_counter() - t0
-    log(f"  vectorization done in {t_vec:.2f}s")
+    log(f"  library vectorization: {t_vec:.2f}s")
 
     class BenchConfig:
         num_list = NUM_LIST
@@ -118,12 +119,27 @@ def main():
             return getattr(self, key)
 
     t0 = time.perf_counter()
-    index = IvfIndex.build(lib_vectors, BenchConfig())
+    index = IvfIndex.build(
+        lib_vectors, BenchConfig(),
+        precursor_mz=lib_prec.astype(np.float32),
+    )
+    jax.block_until_ready(index.padded_vectors)
     t_build = time.perf_counter() - t0
+    # Steady-state rate: the engine builds one index per precursor charge
+    # with the same compiled programs; only the first build pays compile.
+    t0 = time.perf_counter()
+    index2 = IvfIndex.build(
+        lib_vectors, BenchConfig(),
+        precursor_mz=lib_prec.astype(np.float32),
+    )
+    jax.block_until_ready(index2.padded_vectors)
+    t_build_warm = time.perf_counter() - t0
+    del index2
+    build_rate = N_LIBRARY / max(t_build_warm, 1e-9)
     log(
-        f"library vectorization: {t_vec:.2f}s; "
-        f"IVF train+add: {t_build:.2f}s "
-        f"({N_LIBRARY / max(t_build, 1e-9):.0f} vectors/sec)"
+        f"IVF train+pack: cold {t_build:.2f}s, steady-state "
+        f"{t_build_warm:.2f}s ({build_rate:.0f} vectors/sec, "
+        f"{index.bytes_per_vector:.0f} B/vector bf16)"
     )
 
     lib_mz_d = jnp.asarray(lib_mz)
@@ -133,69 +149,39 @@ def main():
     use_pallas = use_pallas_default()
     log(f"pallas kernel: {use_pallas}")
 
+    def stage_vectorize(q_mz, q_int, q_n):
+        return vectorize_batch(vparams, tables, q_mz, q_int, q_n)
+
+    def stage_select(q_vec, q_prec):
+        return index.search(
+            np.asarray(q_vec), NUM_CANDIDATES,
+            q_prec=q_prec.astype(np.float32), charge=float(CHARGE),
+            tol_val=OPEN_TOL_DA, tol_mode="Da",
+        )
+
+    def stage_rescore(q_mz, q_int, q_prec, cand_ids):
+        return rescore_candidate_matrix(
+            jnp.asarray(q_mz), jnp.asarray(q_int),
+            jnp.asarray(q_prec, jnp.float32),
+            lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
+            jnp.asarray(cand_ids, jnp.int32),
+            FRAG_TOL, CHARGE + 1, True, use_pallas,
+        )
+
     def run_batch(q_mz, q_int, q_ann, q_n, q_prec):
-        # 1) vectorize queries
-        q_vec = np.asarray(
-            vectorize_batch(vparams, table, q_mz, q_int, q_n)
+        q_vec = stage_vectorize(q_mz, q_int, q_n)
+        cand_ids = stage_select(q_vec, q_prec)
+        best_idx, best_score, n_cands = stage_rescore(
+            q_mz, q_int, q_prec, cand_ids
         )
-        # 2) IVF candidate selection
-        neighbors = index.search(q_vec, NUM_CANDIDATES)  # (B, C)
-        # 3) precursor window intersection (open search, +/-500 Da)
-        lo = np.searchsorted(
-            lib_prec, q_prec - OPEN_TOL_DA / CHARGE, "left"
-        )
-        hi = np.searchsorted(
-            lib_prec, q_prec + OPEN_TOL_DA / CHARGE, "right"
-        )
-        b, c = neighbors.shape
-        pair_q = np.repeat(np.arange(b, dtype=np.int64), c)
-        pair_c = neighbors.reshape(-1).astype(np.int64)
-        keep = (
-            (pair_c >= 0)
-            & (pair_c >= lo[pair_q])
-            & (pair_c < hi[pair_q])
-        )
-        pair_q, pair_c = pair_q[keep], pair_c[keep]
-        # 4) exact shifted-dot rescoring in fixed chunks; peak blocks stay
-        #    device-resident, only pair indices are transferred.
-        q_mz_d = jnp.asarray(q_mz)
-        q_int_d = jnp.asarray(q_int)
-        q_prec_d = jnp.asarray(q_prec, jnp.float32)
-        best_score = np.full(b, -np.inf, np.float32)
-        best_idx = np.full(b, -1, np.int64)
-        for start in range(0, len(pair_q), PAIR_CHUNK):
-            pq = pair_q[start : start + PAIR_CHUNK]
-            pc = pair_c[start : start + PAIR_CHUNK]
-            n = len(pq)
-            if n < PAIR_CHUNK:
-                pq = np.concatenate(
-                    [pq, np.zeros(PAIR_CHUNK - n, np.int64)]
-                )
-                pc = np.concatenate(
-                    [pc, np.zeros(PAIR_CHUNK - n, np.int64)]
-                )
-            valid = np.zeros(PAIR_CHUNK, bool)
-            valid[:n] = True
-            scores = np.asarray(
-                gather_pair_scores(
-                    q_mz_d, q_int_d, q_prec_d,
-                    lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
-                    jnp.asarray(pq, jnp.int32),
-                    jnp.asarray(pc, jnp.int32),
-                    jnp.asarray(valid),
-                    FRAG_TOL, CHARGE + 1, True, use_pallas,
-                )
-            )[:n]
-            pq, pc = pq[:n], pc[:n]
-            np.maximum.at(best_score, pq, scores)
-            newly = scores >= best_score[pq]
-            best_idx[pq[newly]] = pc[newly]
-        return best_idx, best_score
+        return np.asarray(best_idx), np.asarray(best_score)
 
     # Derive query batches from the library (realistic hit structure).
     batches = []
+    batch_rows = []
     for i in range(N_BATCHES):
         rows = rng.choice(N_LIBRARY, N_QUERIES, replace=False)
+        batch_rows.append(rows)
         q_mz = lib_mz[rows] + rng.normal(
             0, 0.005, (N_QUERIES, K_PEAKS)
         ).astype(np.float32)
@@ -213,29 +199,81 @@ def main():
 
     log("warmup (compile)")
     t0 = time.perf_counter()
-    run_batch(*batches[0])
-    log(f"warmup batch: {time.perf_counter() - t0:.2f}s")
+    best_idx, _ = run_batch(*batches[0])
+    t_warm = time.perf_counter() - t0
+    log(f"warmup batch: {t_warm:.2f}s")
+    # Sanity: noised copies of library rows must mostly match their row.
+    hit_rate = float(np.mean(best_idx == batch_rows[0]))
+    log(f"self-match hit rate: {hit_rate:.3f}")
 
     log("timed run")
     t0 = time.perf_counter()
     n_done = 0
     for batch in batches:
-        best_idx, _ = run_batch(*batch)
+        best_idx, best_score = run_batch(*batch)
         n_done += N_QUERIES
     elapsed = time.perf_counter() - t0
     qps = n_done / elapsed
 
-    # Sanity: most queries should match their source row.
-    rows = rng.choice(N_LIBRARY, N_QUERIES, replace=False)
+    # Stage breakdown (synchronized per stage, warm programs).
+    q_mz, q_int, q_ann, q_n, q_prec = batches[1]
+    t0 = time.perf_counter()
+    q_vec = stage_vectorize(q_mz, q_int, q_n)
+    q_vec.block_until_ready()
+    t_s1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cand_ids = stage_select(q_vec, q_prec)
+    t_s2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = stage_rescore(q_mz, q_int, q_prec, cand_ids)
+    jax.block_until_ready(out)
+    t_s3 = time.perf_counter() - t0
+    log(
+        f"stage seconds/batch(B={N_QUERIES}): vectorize={t_s1:.3f} "
+        f"ann-select={t_s2:.3f} rescore={t_s3:.3f}"
+    )
+
+    final_hit_rate = float(np.mean(best_idx == batch_rows[-1]))
+    log(f"final-batch self-match hit rate: {final_hit_rate:.3f}")
+
+    # MFU estimate over the dominant MXU work per batch:
+    #   coarse quantize  B*L*D*2
+    #   list scan        budget * cap * D * TQ * 2 per tile
+    #   (rescoring is VPU-bound Pallas work, excluded -> estimate is a
+    #    lower bound on chip utilization)
+    l, cap, d = index.padded_vectors.shape
+    budget = min(l, max(4 * NUM_PROBE, NUM_PROBE + 8))
+    n_tiles = -(-N_QUERIES // 128)
+    flops_scan = n_tiles * (budget * cap * d * 128 * 2)
+    flops_coarse = N_QUERIES * l * d * 2
+    mfu = (flops_scan + flops_coarse) * qps / N_QUERIES / PEAK_BF16
+    pairs_per_sec = qps * NUM_CANDIDATES
+
     log(f"open-search throughput: {qps:.1f} queries/sec/chip")
     print(
         json.dumps(
             {
                 "metric": "iPRG2012-scale open-search throughput "
-                "(131k library, 1024 ANN candidates, shifted dot)",
+                "(131k library, IVF 2048/128 fused window, 1024 "
+                "candidates, shifted dot)",
                 "value": round(qps, 2),
                 "unit": "queries/sec/chip",
                 "vs_baseline": round(qps / REFERENCE_QPS, 2),
+                "stages_sec_per_batch": {
+                    "vectorize": round(t_s1, 4),
+                    "ann_select": round(t_s2, 4),
+                    "rescore": round(t_s3, 4),
+                },
+                "ivf_build_sec_cold": round(t_build, 2),
+                "ivf_build_sec": round(t_build_warm, 2),
+                "ivf_build_vectors_per_sec": round(build_rate, 0),
+                "index_bytes_per_vector": round(
+                    index.bytes_per_vector, 1
+                ),
+                "warmup_sec": round(t_warm, 2),
+                "rescored_pairs_per_sec": round(pairs_per_sec, 0),
+                "mxu_mfu_estimate": round(mfu, 4),
+                "self_match_hit_rate": round(final_hit_rate, 3),
             }
         )
     )
