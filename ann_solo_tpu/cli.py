@@ -45,16 +45,20 @@ def main(args: Optional[Union[str, List[str]]] = None) -> int:
     logging.captureWarnings(True)
     root = logging.getLogger()
     root.setLevel(logging.DEBUG)
-    handler = logging.StreamHandler(sys.stderr)
-    handler.setLevel(logging.DEBUG)
-    handler.setFormatter(
-        logging.Formatter(
-            "{asctime} {levelname} [{name}/{processName}] "
-            "{module}.{funcName} : {message}",
-            style="{",
+    if not any(
+        getattr(h, "_ann_solo_tpu", False) for h in root.handlers
+    ):  # repeated main() calls must not stack handlers
+        handler = logging.StreamHandler(sys.stderr)
+        handler.setLevel(logging.DEBUG)
+        handler.setFormatter(
+            logging.Formatter(
+                "{asctime} {levelname} [{name}/{processName}] "
+                "{module}.{funcName} : {message}",
+                style="{",
+            )
         )
-    )
-    root.addHandler(handler)
+        handler._ann_solo_tpu = True
+        root.addHandler(handler)
     logging.getLogger("jax").setLevel(logging.WARNING)
 
     config.parse(args)
@@ -75,7 +79,10 @@ def main(args: Optional[Union[str, List[str]]] = None) -> int:
         config,
     )
     spec_lib.shutdown()
-    logging.shutdown()
+    logging.getLogger().handlers[:] = [
+        h for h in logging.getLogger().handlers
+        if not getattr(h, "_ann_solo_tpu", False)
+    ]
     return 0
 
 

@@ -130,7 +130,8 @@ def write_mztab(
                 "\t".join(
                     [
                         "PSM",
-                        str(ssm.sequence),
+                        ("null" if ssm.sequence is None
+                         else str(ssm.sequence)),
                         str(ssm.query_identifier),
                         "null",
                         "null",

@@ -161,7 +161,7 @@ def rescore_candidate_matrix(
     num_shifts: int,
     allow_shift: bool,
     use_pallas: bool,
-    c_chunk: int = 16,
+    c_chunk: int = 0,
     top_t: int = 32,
 ):
     """Exact per-query best candidate under greedy shifted-dot scoring.
@@ -184,6 +184,10 @@ def rescore_candidate_matrix(
     Returns (best_idx (B,), best_score (B,), n_candidates (B,)) NumPy.
     """
     b, c = cand_ids.shape
+    if c_chunk <= 0:
+        # ~16k pairs per stage-1 step: large enough to keep the VPU
+        # busy, small enough to bound the (P, K, K) intermediate.
+        c_chunk = max(8, min(c, 16384 // max(b, 1)))
     cand_ids = jnp.asarray(cand_ids, jnp.int32)
     ub, exact = _stage1_bounds(
         q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,

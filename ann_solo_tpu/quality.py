@@ -1,0 +1,289 @@
+"""Quality benchmark: cascade IDs@FDR and ANN recall on a synthetic corpus.
+
+The reference's quality story rests on the iPRG2012 notebooks
+(notebooks/iprg2012_fdr.ipynb: 6,011 SSMs @1% FDR for the shifted-dot
+cascade; notebooks/iprg2012_num_candidates.ipynb: 30.9/48.1/75.1% of
+brute-force SSMs recovered at k=1/10/1024 ANN candidates).  The real
+iPRG2012 data is not redistributable, so this module reproduces the
+*methodology* on a generated corpus of known ground truth
+(ann_solo_tpu.synthdata.make_corpus): a large b/y-ion spectral library,
+noisy unmodified queries, modified queries following a realistic PTM mass
+profile, and foreign queries that FDR control must reject.
+
+Reported per mode (bf = brute-force cascade, ann = IVF-filtered cascade):
+  * SSMs accepted at the FDR threshold, split unmodified / modified
+  * ground-truth accuracy of accepted SSMs (the synthetic corpus knows
+    every query's source peptide)
+  * foreign-query leak rate
+And the ANN-vs-brute-force candidate recall curve: the fraction of
+brute-force-identified SSMs whose library match is recovered within the
+top-k ANN candidates, k in {1, 10, 100, num_candidates}.
+
+Usage: python -m ann_solo_tpu.quality --out QUALITY.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import tempfile
+import time
+from typing import Dict
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _cli_args(lib, queries, out, mode, parsed):
+    args = [
+        lib, queries, out,
+        "--precursor_tolerance_mass", "20",
+        "--precursor_tolerance_mode", "ppm",
+        "--precursor_tolerance_mass_open",
+        str(parsed.open_tolerance),
+        "--precursor_tolerance_mode_open", "Da",
+        "--fragment_mz_tolerance", "0.02",
+        "--allow_peak_shifts",
+        "--min_mz_range", "200",
+        "--min_peaks", "5",
+        "--model", parsed.model,
+        "--mode", mode,
+        "--num_list", str(parsed.num_list),
+        "--num_probe", str(parsed.num_probe),
+        "--num_candidates", str(parsed.num_candidates),
+        "--fdr", str(parsed.fdr),
+        "--add_decoys",
+    ]
+    return args
+
+
+def _mztab_stats(path, truth, parsed) -> Dict:
+    from ann_solo_tpu.eval import ssm_stats
+    from ann_solo_tpu.io.mztab import read_mztab_ssms
+
+    ssms = read_mztab_ssms(path)
+    stats = ssm_stats(ssms, parsed.fdr)
+    targets = ssms[~ssms["opt_ms_run[1]_cv_MS:1002217_decoy_peptide"]]
+    confident = targets[
+        targets["search_engine_score[2]"].astype(float) < parsed.fdr
+    ]
+    correct = sum(
+        truth.get(str(qid)) == row["sequence"]
+        for qid, row in confident.iterrows()
+    )
+    foreign_accepted = sum(
+        str(qid).startswith("q_foreign") for qid in confident.index
+    )
+    n_foreign = sum(1 for k in truth if truth[k] is None)
+    stats.update(
+        accuracy=(correct / len(confident)) if len(confident) else 0.0,
+        n_correct=int(correct),
+        foreign_leak_rate=(
+            foreign_accepted / n_foreign if n_foreign else 0.0
+        ),
+    )
+    return stats
+
+
+def _bf_matches(path, parsed):
+    """(query_id -> library identifier) of brute-force confident SSMs."""
+    from ann_solo_tpu.io.mztab import read_mztab_ssms
+
+    ssms = read_mztab_ssms(path)
+    targets = ssms[~ssms["opt_ms_run[1]_cv_MS:1002217_decoy_peptide"]]
+    confident = targets[
+        targets["search_engine_score[2]"].astype(float) < parsed.fdr
+    ]
+    col = "opt_ms_run[1]_cv_MS:1003062_spectrum_index"
+    return {str(qid): str(row[col]) for qid, row in confident.iterrows()}
+
+
+def _ann_recall_curve(lib_path, query_path, bf_matches, parsed):
+    """% of brute-force SSMs whose match is in the top-k ANN candidates.
+
+    Reproduces notebooks/iprg2012_num_candidates.ipynb: rank the bf match
+    inside the ANN candidate list (precursor window fused, open-search
+    tolerances) and report the cumulative recovery at each k.
+    """
+    import jax.numpy as jnp
+
+    from ann_solo_tpu.config import config
+    from ann_solo_tpu.models.vectorize import (
+        VectorizeParams,
+        vectorize_batch,
+    )
+    from ann_solo_tpu.search import SpectralLibrary
+
+    config.parse(
+        _cli_args(lib_path, query_path, "unused.mztab", "ann", parsed)
+    )
+    library = SpectralLibrary(lib_path)
+    queries = library._read_and_process_queries(query_path)
+    # Library identifier -> store row.
+    ident_to_row = {
+        str(ident): row
+        for row, ident in enumerate(library._store.identifiers)
+    }
+    ks = sorted({1, 10, 100, parsed.num_candidates})
+    found_at = []
+    for charge, spectra in queries.items():
+        if charge not in library._ann_indexes:
+            continue
+        lib = library._get_charge_lib(charge)
+        row_to_pos = {int(r): i for i, r in enumerate(lib.rows)}
+        wanted = [
+            (i, row_to_pos.get(
+                ident_to_row.get(bf_matches.get(s.identifier, ""), -1),
+                -1,
+            ))
+            for i, s in enumerate(spectra)
+            if s.identifier in bf_matches
+        ]
+        wanted = [(i, pos) for i, pos in wanted if pos >= 0]
+        if not wanted:
+            continue
+        rows = [i for i, _ in wanted]
+        k_peaks = library._query_params.max_peaks_used
+        q_mz = np.zeros((len(rows), k_peaks), np.float32)
+        q_int = np.zeros((len(rows), k_peaks), np.float32)
+        q_prec = np.zeros(len(rows), np.float32)
+        n_peaks = np.zeros(len(rows), np.int32)
+        for j, i in enumerate(rows):
+            s = spectra[i]
+            n = min(s.n_peaks, k_peaks)
+            q_mz[j, :n] = s.mz[:n]
+            q_int[j, :n] = s.intensity[:n]
+            q_prec[j] = s.precursor_mz
+            n_peaks[j] = n
+        vparams = VectorizeParams.from_config(config)
+        vectors = np.asarray(
+            vectorize_batch(
+                vparams, vparams.tables(), q_mz, q_int, n_peaks
+            )
+        )
+        cand = library._ann_indexes[charge].search(
+            vectors, parsed.num_candidates,
+            q_prec=q_prec, charge=float(charge),
+            tol_val=float(parsed.open_tolerance), tol_mode="Da",
+        )
+        for j, (_, pos) in enumerate(wanted):
+            hits = np.nonzero(cand[j] == pos)[0]
+            found_at.append(int(hits[0]) + 1 if len(hits) else 10**9)
+    library.shutdown()
+    found_at = np.asarray(found_at)
+    return {
+        f"recall@{k}": (
+            round(float((found_at <= k).mean()), 4) if len(found_at)
+            else None
+        )
+        for k in ks
+    } | {"n_bf_ssms_checked": int(len(found_at))}
+
+
+def main(args=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="ANN-SoLo-TPU quality benchmark on a synthetic corpus"
+    )
+    parser.add_argument("--out", default="QUALITY.json")
+    parser.add_argument("--workdir", default=None)
+    parser.add_argument("--n-peptides", type=int, default=50000)
+    parser.add_argument("--n-queries", type=int, default=10000)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--fdr", type=float, default=0.01)
+    parser.add_argument("--model", default="none",
+                        choices=["none", "rf", "svm"])
+    parser.add_argument("--open-tolerance", type=float, default=300.0)
+    parser.add_argument("--num_list", type=int, default=2048)
+    parser.add_argument("--num_probe", type=int, default=128)
+    parser.add_argument("--num_candidates", type=int, default=1024)
+    parser.add_argument("--skip-bf", action="store_true",
+                        help="skip the brute-force pass (and the recall "
+                        "curve) for quick smoke runs")
+    parsed = parser.parse_args(args)
+
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stderr,
+        format="{asctime} {levelname} {module}.{funcName} : {message}",
+        style="{",
+    )
+    workdir = parsed.workdir or tempfile.mkdtemp(prefix="annsolo_quality_")
+    os.makedirs(workdir, exist_ok=True)
+
+    from ann_solo_tpu import rndm
+
+    rndm.set_seeds()
+    from ann_solo_tpu.io.mgf import write_mgf
+    from ann_solo_tpu.io.splib import write_splib
+    from ann_solo_tpu.synthdata import make_corpus
+
+    rng = np.random.default_rng(parsed.seed)
+    t0 = time.perf_counter()
+    logger.info(
+        "Generating corpus: %d peptides x 2 charges, %d queries",
+        parsed.n_peptides, parsed.n_queries,
+    )
+    library, queries, truth = make_corpus(
+        rng, parsed.n_peptides, parsed.n_queries
+    )
+    lib_path = os.path.join(workdir, "library.splib")
+    query_path = os.path.join(workdir, "queries.mgf")
+    write_splib(library, lib_path)
+    write_mgf(queries, query_path)
+    t_corpus = time.perf_counter() - t0
+    logger.info(
+        "Corpus: %d library spectra, %d queries (%.1fs)",
+        len(library), len(queries), t_corpus,
+    )
+
+    from ann_solo_tpu.cli import main as cli_main
+
+    results = {
+        "corpus": {
+            "n_library_spectra": len(library),
+            "n_queries": len(queries),
+            "n_foreign": sum(1 for v in truth.values() if v is None),
+            "seed": parsed.seed,
+        },
+        "config": {
+            "fdr": parsed.fdr,
+            "model": parsed.model,
+            "open_tolerance_da": parsed.open_tolerance,
+            "num_list": parsed.num_list,
+            "num_probe": parsed.num_probe,
+            "num_candidates": parsed.num_candidates,
+        },
+    }
+    modes = ["ann"] if parsed.skip_bf else ["bf", "ann"]
+    for mode in modes:
+        out_path = os.path.join(workdir, f"{mode}.mztab")
+        t0 = time.perf_counter()
+        cli_main(_cli_args(lib_path, query_path, out_path, mode, parsed))
+        elapsed = time.perf_counter() - t0
+        stats = _mztab_stats(out_path, truth, parsed)
+        stats["search_seconds"] = round(elapsed, 1)
+        results[mode] = stats
+        logger.info("%s: %s", mode, json.dumps(stats))
+    if not parsed.skip_bf:
+        results["ann_vs_bf_ids_ratio"] = round(
+            results["ann"]["n_confident"]
+            / max(results["bf"]["n_confident"], 1),
+            4,
+        )
+        bf_matches = _bf_matches(
+            os.path.join(workdir, "bf.mztab"), parsed
+        )
+        results["ann_candidate_recall"] = _ann_recall_curve(
+            lib_path, query_path, bf_matches, parsed
+        )
+    with open(parsed.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

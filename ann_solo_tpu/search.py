@@ -403,20 +403,10 @@ class SpectralLibrary:
                     )
                 )
         else:
-            counts = (hi - lo).astype(np.int64)
-            pair_q = np.repeat(np.arange(b, dtype=np.int64), counts)
-            pair_c = (
-                np.concatenate(
-                    [np.arange(l, h, dtype=np.int64)
-                     for l, h in zip(lo, hi)]
-                )
-                if counts.sum() > 0
-                else np.zeros(0, np.int64)
-            )
-            num_candidates_per_query = np.bincount(pair_q, minlength=b)
+            num_candidates_per_query = (hi - lo).astype(np.int64)
             with profiler.stage("exact rescoring"), device_trace():
-                best_idx, best_score = self._rescore_pairs(
-                    q_mz, q_int, q_prec, lib, pair_q, pair_c, charge
+                best_idx, best_score = self._rescore_window_ranges(
+                    q_mz, q_int, q_prec, lib, lo, hi, charge
                 )
 
         # Recompute peak matches for the best pairs only.
@@ -507,50 +497,58 @@ class SpectralLibrary:
         n_cands = np.concatenate([np.asarray(o[2]) for o in outs])
         return best_idx.astype(np.int64), best_score, n_cands
 
-    def _rescore_pairs(
-        self, q_mz, q_int, q_prec, lib, pair_q, pair_c, charge
+    def _rescore_window_ranges(
+        self, q_mz, q_int, q_prec, lib, lo, hi, charge
     ):
-        """Exact shifted-dot rescoring over pair chunks; best per query.
+        """Exact rescoring of contiguous precursor-window row ranges.
 
-        The library and query peak blocks stay device-resident and the
-        per-query running best accumulates ON DEVICE
-        (ops/rescore.pair_chunk_update): the host streams pair-index
-        chunks without ever synchronizing on scores.
+        Queries are grouped by window size (sorted, power-of-two width
+        buckets) and each group runs through the same two-stage
+        certificate rescorer as the ANN path -- the brute-force mode no
+        longer streams every pair through the full greedy kernel.
         """
         import jax.numpy as jnp
 
-        from ann_solo_tpu.ops.rescore import pair_chunk_update
+        from ann_solo_tpu.ops.rescore import rescore_candidate_matrix
+        from ann_solo_tpu.ops.shifted_dot_pallas import use_pallas_default
 
         b = q_mz.shape[0]
-        chunk = self._pair_batch
         allow_shift = bool(config.allow_peak_shifts)
         num_shifts = charge + 1 if allow_shift else 1
         frag_tol = float(config.fragment_mz_tolerance)
         lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d = lib.device_arrays()
-        q_mz_d = jnp.asarray(q_mz)
-        q_int_d = jnp.asarray(q_int)
-        q_prec_d = jnp.asarray(q_prec, jnp.float32)
-        best_score = jnp.full(b, -jnp.inf, jnp.float32)
-        best_idx = jnp.full(b, -1, jnp.int32)
-        for start in range(0, len(pair_q), chunk):
-            pq = pair_q[start : start + chunk]
-            pc = pair_c[start : start + chunk]
-            n = len(pq)
-            if n < chunk:  # pad the tail chunk to the fixed shape
-                pad = chunk - n
-                pq = np.concatenate([pq, np.zeros(pad, np.int64)])
-                pc = np.concatenate([pc, np.zeros(pad, np.int64)])
-            best_score, best_idx = pair_chunk_update(
-                best_score, best_idx,
-                q_mz_d, q_int_d, q_prec_d,
+        use_pallas = use_pallas_default()
+        best_idx = np.full(b, -1, np.int64)
+        best_score = np.full(b, -np.inf, np.float64)
+        widths = (hi - lo).astype(np.int64)
+        order = np.argsort(widths, kind="stable")
+        group = 64
+        for start in range(0, b, group):
+            rows = order[start : start + group]
+            n_rows = len(rows)
+            if n_rows < group:  # pad tail group to the compiled shape
+                rows = np.concatenate(
+                    [rows, np.full(group - n_rows, rows[0])]
+                )
+            w = int(widths[rows].max())
+            if w == 0:
+                continue
+            # Pad the group width to a power of two (bounded recompiles).
+            c = 8
+            while c < w:
+                c *= 2
+            cand = lo[rows][:, None] + np.arange(c, dtype=np.int64)[None]
+            cand = np.where(cand < hi[rows][:, None], cand, -1)
+            idx_g, score_g, _ = rescore_candidate_matrix(
+                jnp.asarray(q_mz[rows]), jnp.asarray(q_int[rows]),
+                jnp.asarray(q_prec[rows], jnp.float32),
                 lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
-                jnp.asarray(pq, jnp.int32), jnp.asarray(pc, jnp.int32),
-                jnp.int32(n), frag_tol, num_shifts, allow_shift,
+                cand.astype(np.int32),
+                frag_tol, num_shifts, allow_shift, use_pallas,
             )
-        return (
-            np.asarray(best_idx).astype(np.int64),
-            np.asarray(best_score, np.float64),
-        )
+            best_idx[rows[:n_rows]] = idx_g[:n_rows]
+            best_score[rows[:n_rows]] = score_g[:n_rows]
+        return best_idx, best_score
 
     def _best_pair_matches(
         self, q_mz, q_int, q_prec, lib, rows, cand_idx, charge
