@@ -345,6 +345,10 @@ class IvfIndex:
             padded_prec = np.zeros(padded_ids.shape, np.float32)
         self.padded_prec = padded_prec
         self._device = None
+        # Sticky: once a query batch shows tile-level list sharing does
+        # not pay (most rows overflow the vote budget), later batches on
+        # this index go straight to the per-query scan.
+        self._tiles_degenerate = False
 
     @property
     def num_list(self) -> int:
@@ -570,6 +574,12 @@ class IvfIndex:
         tol_val: float = 0.0,
         tol_mode: str = "Da",
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Like `search` but also returns the inner-product scores.
+
+        `queries` may be a device array: the sticky-degenerate fast path
+        then runs without any host round-trip of the query vectors
+        (tunneled TPUs pay ~10-20ms per avoidable MB each way).
+        """
         num_probe = int(num_probe or self.num_probe)
         b = len(queries)
         if b == 0:
@@ -577,14 +587,31 @@ class IvfIndex:
                 np.zeros((0, k), np.int32),
                 np.zeros((0, k), np.float32),
             )
-        queries = np.asarray(queries, np.float32)
         if q_prec is None:
             q_prec = np.zeros(b, np.float32)
             tol_val = 0.0
-        q_prec = np.asarray(q_prec, np.float32)
         vectors_d, ids_d, prec_d, centroids_d = self.device_arrays()
         charge_d = jnp.float32(charge)
         l = self.num_list
+        budget = min(l, max(_TILE_LIST_SLACK * num_probe, num_probe + 8))
+        # (budget >= l tiles scan everything masked: nothing can drop and
+        # the shared scan beats per-query gathers -- keep tiles then.)
+        if self._tiles_degenerate and budget < l:
+            # Device-resident fast path: all queries through the exact
+            # per-query gather scan, one program, one download.
+            scores, ids = _ivf_search_perquery(
+                vectors_d, ids_d, prec_d, centroids_d,
+                jnp.asarray(queries, jnp.float32),
+                jnp.asarray(q_prec, jnp.float32),
+                charge_d, num_probe, k, tol_val, tol_mode,
+            )
+            return np.asarray(ids), np.asarray(scores)
+
+        queries = np.asarray(queries, np.float32)
+        q_prec = np.asarray(q_prec, np.float32)
+        out_ids = np.full((b, k), -1, np.int32)
+        out_scores = np.full((b, k), -np.inf, np.float32)
+        tiles_degenerate = False
         top1 = np.asarray(
             jnp.argmax(
                 jnp.dot(jnp.asarray(queries), centroids_d.T,
@@ -593,11 +620,7 @@ class IvfIndex:
             )
         )
         order = np.argsort(top1, kind="stable")
-        budget = min(l, max(_TILE_LIST_SLACK * num_probe, num_probe + 8))
-        out_ids = np.full((b, k), -1, np.int32)
-        out_scores = np.full((b, k), -np.inf, np.float32)
         retry_rows = []
-        tiles_degenerate = False
         for start in range(0, b, _TILE_Q):
             rows = order[start : start + _TILE_Q]
             if tiles_degenerate:
@@ -627,6 +650,7 @@ class IvfIndex:
             retry_rows.extend(rows[dropped])
             if start == 0 and budget < l and dropped.mean() > 0.5:
                 tiles_degenerate = True
+                self._tiles_degenerate = True
         if retry_rows and budget < l:
             # Exact batched fallback: queries whose probes overflowed the
             # tile budget re-run through the per-query gather scan (their

@@ -17,6 +17,7 @@ config (.spcfg, reader.py:147-200); a hash mismatch triggers a rebuild.
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import json
 import logging
@@ -81,6 +82,7 @@ class SpectralLibraryStore:
         with h5py.File(filename, "r") as f:
             self.config_hash = f.attrs["config_hash"]
             self.source_filename = f.attrs["source_filename"]
+            self._source_version = f.attrs.get("source_version", "null")
             self.identifiers = f["identifiers"].asstr()[()]
             self.peptides = f["peptides"].asstr()[()]
             self.precursor_mz = f["precursor_mz"][()]
@@ -148,7 +150,10 @@ class SpectralLibraryStore:
         return spectrum
 
     def get_version(self) -> str:
-        return "null"
+        """Library version recorded at store-build time: the source
+        library file's UTC modification timestamp (the reference records
+        the analogous .spcfg creation version, writer.py:109)."""
+        return str(self._source_version)
 
 
 def build_store(
@@ -231,7 +236,7 @@ def build_store(
                 )
         add(spectrum)
         n_read += 1
-        if n_read % 50000 == 0:
+        if n_read % 10000 == 0:
             logger.info("Library spectra read: %d", n_read)
     flush()
 
@@ -241,6 +246,13 @@ def build_store(
     with h5py.File(filename, "w") as f:
         f.attrs["config_hash"] = config_hash
         f.attrs["source_filename"] = source_filename
+        try:
+            mtime = os.path.getmtime(source_filename)
+            f.attrs["source_version"] = datetime.datetime.fromtimestamp(
+                mtime, datetime.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        except OSError:
+            f.attrs["source_version"] = "null"
         f.create_dataset(
             "identifiers", data=np.asarray(identifiers, object),
             dtype=str_dtype,

@@ -30,10 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ann_solo_tpu.ops.shifted_dot import pair_score_matrix
-from ann_solo_tpu.ops.shifted_dot_pallas import (
-    PAIR_BLOCK,
-    gather_pair_scores,
-)
+from ann_solo_tpu.ops.shifted_dot_pallas import gather_pair_scores
 
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -153,6 +150,38 @@ def _greedy_pairs(
     )
 
 
+_GREEDY_CHUNK = 8192  # fixed pair-chunk: ONE compiled greedy program
+
+
+def _greedy_pairs_chunked(
+    q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
+    pair_q, pair_c,
+    fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
+):
+    """Greedy scores over an arbitrary pair count via fixed-size chunks.
+
+    Dynamic pair counts would compile a fresh (expensive) kernel per
+    shape; chunking to one fixed size keeps exactly one compiled variant
+    per process.
+    """
+    n = pair_q.shape[0]
+    out = np.empty(n, np.float32)
+    for start in range(0, n, _GREEDY_CHUNK):
+        pq = pair_q[start : start + _GREEDY_CHUNK]
+        pc = pair_c[start : start + _GREEDY_CHUNK]
+        m = len(pq)
+        if m < _GREEDY_CHUNK:
+            pq = np.pad(pq, (0, _GREEDY_CHUNK - m))
+            pc = np.pad(pc, (0, _GREEDY_CHUNK - m), constant_values=-1)
+        scores = _greedy_pairs(
+            q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
+            jnp.asarray(pq, jnp.int32), jnp.asarray(pc, jnp.int32),
+            fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
+        )
+        out[start : start + m] = np.asarray(scores)[:m]
+    return out
+
+
 def rescore_candidate_matrix(
     q_mz, q_int, q_prec,  # (B, K), (B, K), (B,) device-resident queries
     lib_mz, lib_int, lib_ann, lib_prec,  # device-resident library block
@@ -188,88 +217,64 @@ def rescore_candidate_matrix(
         # ~16k pairs per stage-1 step: large enough to keep the VPU
         # busy, small enough to bound the (P, K, K) intermediate.
         c_chunk = max(8, min(c, 16384 // max(b, 1)))
-    cand_ids = jnp.asarray(cand_ids, jnp.int32)
+    cand_np = np.asarray(cand_ids, np.int32)
     ub, exact = _stage1_bounds(
         q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
-        cand_ids, fragment_mz_tolerance, num_shifts, allow_shift,
-        min(c_chunk, c),
+        jnp.asarray(cand_np), fragment_mz_tolerance, num_shifts,
+        allow_shift, min(c_chunk, c),
     )
-    valid = cand_ids >= 0
-    n_cands = np.asarray(jnp.sum(valid, axis=1)).astype(np.int32)
-    top1 = jnp.argmax(ub, axis=1)
-    top1_idx = jnp.take_along_axis(cand_ids, top1[:, None], axis=1)[:, 0]
-    top1_ub = jnp.take_along_axis(ub, top1[:, None], axis=1)[:, 0]
-    top1_exact = jnp.take_along_axis(exact, top1[:, None], axis=1)[:, 0]
+    # Stage 2 runs on the host over fixed-size device chunks only --
+    # dynamic-shape device programs recompile per shape, which dominates
+    # wall time on tunneled TPU backends.
+    ub = np.asarray(ub)
+    exact = np.asarray(exact)
+    valid = cand_np >= 0
+    n_cands = valid.sum(axis=1).astype(np.int32)
+    top1 = np.argmax(ub, axis=1)
+    rows = np.arange(b)
     has_any = n_cands > 0
-    best_idx = np.array(jnp.where(has_any, top1_idx, -1)).astype(
-        np.int64
-    )
-    best_score = np.array(
-        jnp.where(has_any, top1_ub, -jnp.inf), np.float64
-    )
-    need = np.asarray(~top1_exact) & (n_cands > 0)
-    rows_need = np.nonzero(need)[0]
-    if len(rows_need) == 0:
+    best_idx = np.where(has_any, cand_np[rows, top1], -1).astype(np.int64)
+    best_score = np.where(
+        has_any, ub[rows, top1], -np.inf
+    ).astype(np.float64)
+    need = ~exact[rows, top1] & has_any
+    sel = np.nonzero(need)[0]
+    if len(sel) == 0:
         return best_idx, best_score, n_cands
 
     t = min(top_t, c)
-    # Pad the query subset to a power of two to bound recompiles.
-    n_sel = len(rows_need)
-    n_pad = 1
-    while n_pad < n_sel:
-        n_pad *= 2
-    sel = np.concatenate(
-        [rows_need, np.full(n_pad - n_sel, rows_need[0])]
-    )
-    sel_d = jnp.asarray(sel, jnp.int32)
-    ub_sel, pos_sel = jax.lax.top_k(ub[sel_d], t)  # (S, T)
-    ids_sel = jnp.take_along_axis(cand_ids[sel_d], pos_sel, axis=1)
-    pair_q = jnp.repeat(sel_d, t)
+    part = np.argpartition(-ub[sel], t - 1, axis=1)[:, :t]
+    ub_sel = np.take_along_axis(ub[sel], part, axis=1)  # (S, T)
+    ids_sel = np.take_along_axis(cand_np[sel], part, axis=1)
+    pair_q = np.repeat(sel, t).astype(np.int32)
     pair_c = ids_sel.reshape(-1)
-    pad_pairs = -(-pair_q.shape[0] // PAIR_BLOCK) * PAIR_BLOCK
-    if pad_pairs != pair_q.shape[0]:
-        extra = pad_pairs - pair_q.shape[0]
-        pair_q = jnp.pad(pair_q, (0, extra))
-        pair_c = jnp.pad(pair_c, (0, extra), constant_values=-1)
-    exact_scores = _greedy_pairs(
+    exact_scores = _greedy_pairs_chunked(
         q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
         pair_q, pair_c,
         fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
-    )[: n_pad * t].reshape(n_pad, t)
-    best_t = jnp.argmax(exact_scores, axis=1)
-    sel_best_idx = np.asarray(
-        jnp.take_along_axis(ids_sel, best_t[:, None], axis=1)[:, 0]
-    )
-    sel_best_score = np.asarray(
-        jnp.take_along_axis(exact_scores, best_t[:, None], axis=1)[:, 0]
-    )
+    ).reshape(len(sel), t)
+    best_t = np.argmax(exact_scores, axis=1)
+    s_rows = np.arange(len(sel))
+    best_idx[sel] = ids_sel[s_rows, best_t]
+    best_score[sel] = exact_scores[s_rows, best_t]
     # Optimality certificate: excluded candidates all have bounds <= the
-    # t-th selected bound.
-    cert = np.asarray(
-        (sel_best_score >= np.asarray(ub_sel)[:, -1])
-        | (np.asarray(ub_sel)[:, -1] == -np.inf)
-    )
-    best_idx[sel[:n_sel]] = sel_best_idx[:n_sel]
-    best_score[sel[:n_sel]] = sel_best_score[:n_sel]
-    failures = sel[:n_sel][~cert[:n_sel]]
+    # smallest selected bound.
+    t_th = ub_sel.min(axis=1)
+    cert = (exact_scores[s_rows, best_t] >= t_th) | np.isneginf(t_th)
+    failures = sel[~cert]
     if len(failures) and t < c:
         # Full greedy over all C candidates for certificate failures.
-        for row in np.unique(failures):
-            pair_q = jnp.full((c,), int(row), jnp.int32)
-            pair_c = cand_ids[row]
-            pad = -(-c // PAIR_BLOCK) * PAIR_BLOCK - c
-            if pad:
-                pair_q = jnp.pad(pair_q, (0, pad))
-                pair_c = jnp.pad(pair_c, (0, pad), constant_values=-1)
-            scores = _greedy_pairs(
-                q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
-                pair_q, pair_c,
-                fragment_mz_tolerance, num_shifts, allow_shift,
-                use_pallas,
-            )[:c]
-            j = int(jnp.argmax(scores))
-            best_idx[row] = int(cand_ids[row, j])
-            best_score[row] = float(scores[j])
+        pair_q = np.repeat(failures, c).astype(np.int32)
+        pair_c = cand_np[failures].reshape(-1)
+        scores = _greedy_pairs_chunked(
+            q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
+            pair_q, pair_c,
+            fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
+        ).reshape(len(failures), c)
+        f_best = np.argmax(scores, axis=1)
+        f_rows = np.arange(len(failures))
+        best_idx[failures] = cand_np[failures, f_best]
+        best_score[failures] = scores[f_rows, f_best]
     return best_idx, best_score, n_cands
 
 

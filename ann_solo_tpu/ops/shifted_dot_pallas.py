@@ -35,7 +35,7 @@ PAIR_BLOCK = 128
 def _kernel(
     q_mz_ref, q_int_ref, c_mz_ref, c_int_ref, c_ann_ref,
     q_prec_ref, c_prec_ref, charge_ref,
-    out_ref,
+    out_ref, match_ref,
     *, fragment_mz_tolerance: float, num_shifts: int, allow_shift: bool,
 ):
     p, k = q_mz_ref.shape
@@ -91,12 +91,14 @@ def _kernel(
     # Early exit once no pair in the block has a positive entry left --
     # typical candidates have only a handful of matches, so this usually
     # terminates after far fewer than K iterations.
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
+
     def greedy_cond(state):
-        i, _flat, _total, active = state
+        i, _flat, _total, _match, active = state
         return (i < k) & active
 
     def greedy_body(state):
-        i, flat, total, _active = state
+        i, flat, total, match, _active = state
         best = jnp.max(flat, axis=1, keepdims=True)  # (P, 1)
         is_best = flat >= best
         idx = jnp.min(
@@ -107,21 +109,24 @@ def _kernel(
         total = total + jnp.where(take, best, 0.0)
         row = idx // k
         col = idx - row * k
+        # match[p, i] = candidate peak matched to query peak i (-1 none).
+        match = jnp.where((k_iota == row) & take, col, match)
         blocked = (row_ids == row) | (col_mod == col)
         flat = jnp.where(blocked & take, 0.0, flat)
-        return i + 1, flat, total, jnp.any(take)
+        return i + 1, flat, total, match, jnp.any(take)
 
-    _, _, total, _ = jax.lax.while_loop(
+    _, _, total, match, _ = jax.lax.while_loop(
         greedy_cond,
         greedy_body,
         (jnp.int32(0), flat0, jnp.zeros((p, 1), jnp.float32),
-         jnp.bool_(True)),
+         jnp.full((p, k), -1, jnp.int32), jnp.bool_(True)),
     )
     out_ref[:] = total
+    match_ref[:] = match
 
 
 @functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
-def shifted_dot_scores_pallas(
+def shifted_dot_pallas_full(
     q_mz, q_int, c_mz, c_int, c_ann,
     q_prec_mz, c_prec_mz, charge,
     fragment_mz_tolerance: float,
@@ -129,15 +134,18 @@ def shifted_dot_scores_pallas(
     allow_shift: bool,
     interpret: bool = False,
 ):
-    """Batched pair scores via the Pallas kernel ((P,) float32).
+    """Pair scores + greedy peak matches via the Pallas kernel.
 
-    P must be a multiple of PAIR_BLOCK (pad and mask at the call site);
-    the peak axis is padded to a multiple of 8 internally.
+    Returns (scores (P,), match (P, K) int32) where match[p, i] is the
+    candidate peak assigned to query peak i (-1 = unmatched) -- the full
+    SpectrumMatch.cpp return contract, extracted in-kernel.  P must be a
+    multiple of PAIR_BLOCK (pad and mask at the call site); the peak
+    axis is padded to a multiple of 8 internally.
     """
     p, k = q_mz.shape
     assert p % PAIR_BLOCK == 0, f"pad pairs to {PAIR_BLOCK}"
-    # Peak axis padded to a power of two so stores of whole rows align to
-    # 128 lanes; >128 peaks falls back to the XLA path (see _auto below).
+    # Peak axis padded to a power of two so row blocks align to lanes;
+    # >128 peaks falls back to the XLA path (see the dispatchers below).
     k_pad = 8
     while k_pad < k:
         k_pad *= 2
@@ -167,15 +175,18 @@ def shifted_dot_scores_pallas(
     scalar_spec = pl.BlockSpec(
         (PAIR_BLOCK, 1), block2, memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    out, match = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             peaks_spec, peaks_spec, peaks_spec, peaks_spec, peaks_spec,
             scalar_spec, scalar_spec, scalar_spec,
         ],
-        out_specs=scalar_spec,
-        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.float32),
+        out_specs=[scalar_spec, peaks_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((p, k_pad), jnp.int32),
+        ],
         interpret=interpret,
     )(
         q_mz.astype(jnp.float32),
@@ -187,7 +198,59 @@ def shifted_dot_scores_pallas(
         c_prec_mz.astype(jnp.float32).reshape(p, 1),
         charge.astype(jnp.int32).reshape(p, 1),
     )
-    return out[:, 0]
+    return out[:, 0], match[:, :k]
+
+
+def shifted_dot_scores_pallas(
+    q_mz, q_int, c_mz, c_int, c_ann,
+    q_prec_mz, c_prec_mz, charge,
+    fragment_mz_tolerance: float,
+    num_shifts: int,
+    allow_shift: bool,
+    interpret: bool = False,
+):
+    """Batched pair scores via the Pallas kernel ((P,) float32)."""
+    return shifted_dot_pallas_full(
+        q_mz, q_int, c_mz, c_int, c_ann, q_prec_mz, c_prec_mz, charge,
+        fragment_mz_tolerance, num_shifts, allow_shift, interpret,
+    )[0]
+
+
+def shifted_dot_best_match_auto(
+    q_mz, q_int, c_mz, c_int, c_ann,
+    q_prec_mz, c_prec_mz, charge,
+    fragment_mz_tolerance: float,
+    num_shifts: int,
+    allow_shift: bool,
+):
+    """Scores + (match_q, match_c) peak pairs; Pallas on TPU, else XLA.
+
+    Output contract matches `ops.shifted_dot.shifted_dot_best_match`:
+    (total (P,), match_q (P, M), match_c (P, M)) with -1 padding.
+    """
+    p, k = q_mz.shape
+    if (
+        use_pallas_default()
+        and p % PAIR_BLOCK == 0
+        and max(k, c_mz.shape[1]) <= 128
+    ):
+        total, match = shifted_dot_pallas_full(
+            jnp.asarray(q_mz), jnp.asarray(q_int),
+            jnp.asarray(c_mz), jnp.asarray(c_int), jnp.asarray(c_ann),
+            jnp.asarray(q_prec_mz), jnp.asarray(c_prec_mz),
+            jnp.asarray(charge),
+            fragment_mz_tolerance, num_shifts, allow_shift,
+        )
+        match_q = jnp.where(
+            match >= 0, jnp.arange(k, dtype=jnp.int32)[None, :], -1
+        )
+        return total, match_q, match
+    from ann_solo_tpu.ops.shifted_dot import shifted_dot_best_match
+
+    return shifted_dot_best_match(
+        q_mz, q_int, c_mz, c_int, c_ann, q_prec_mz, c_prec_mz, charge,
+        fragment_mz_tolerance, num_shifts, allow_shift,
+    )
 
 
 def use_pallas_default() -> bool:
@@ -258,6 +321,10 @@ def gather_pair_scores(
     charge = jnp.full(
         pair_q.shape, num_shifts - 1 if allow_shift else 1, jnp.int32
     )
+    # The Pallas kernel supports <= 128 peak lanes; wider configurations
+    # (max_peaks_used > 128) fall back to the XLA formulation.
+    if max(q_mz.shape[1], lib_mz.shape[1]) > 128:
+        use_pallas = False
     qm = jnp.take(q_mz, pair_q, axis=0)
     qi = jnp.take(q_int, pair_q, axis=0)
     qp = jnp.take(q_prec, pair_q, axis=0)

@@ -60,6 +60,47 @@ def make_mesh(
     return Mesh(device_array, axis_names)
 
 
+def make_multislice_mesh(
+    n_slices: int,
+    devices_per_slice: Optional[int] = None,
+    dp_size: int = 1,
+    devices=None,
+) -> Mesh:
+    """A ('dcn', 'dp', 'lib') mesh for multi-slice 100M+-vector builds.
+
+    Axis layout follows the JAX multi-slice convention: the slowest
+    (outer) mesh axis maps to the slice boundary so collectives along it
+    ride DCN while 'dp'/'lib' collectives stay on ICI within a slice.
+    Library lists shard over the combined ('dcn', 'lib') axes -- the
+    per-shard top-k merge is one k-sized all-gather per axis, so DCN
+    traffic stays O(k * n_slices), independent of library size.
+
+    On real multi-slice systems `jax.devices()` orders devices
+    slice-major, which is exactly the reshape below; on a virtual CPU
+    mesh this validates compilation and collective layout.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if devices_per_slice is None:
+        devices_per_slice = max(1, len(devices) // n_slices)
+    n = n_slices * devices_per_slice
+    if len(devices) < n:
+        # Fall back to virtual CPU devices (same escape hatch as
+        # make_mesh) for multi-slice dry runs on small hosts.
+        devices = jax.devices("cpu")
+    if len(devices) < n:
+        raise ValueError(
+            f"need {n} devices for {n_slices} x {devices_per_slice}, "
+            f"have {len(devices)}"
+        )
+    if devices_per_slice % dp_size != 0:
+        raise ValueError("dp_size must divide devices_per_slice")
+    lib_size = devices_per_slice // dp_size
+    device_array = np.asarray(devices[:n]).reshape(
+        n_slices, dp_size, lib_size
+    )
+    return Mesh(device_array, ("dcn", "dp", "lib"))
+
+
 def pad_to_multiple(
     array: np.ndarray, multiple: int, axis: int = 0, fill=0
 ) -> np.ndarray:

@@ -40,6 +40,8 @@ def _local_ivf_scan(
     charge: float,
     tol_val: float,
     tol_mode: str,
+    list_axes: Tuple[str, ...] = ("lib",),
+    list_axis_sizes: Tuple[int, ...] = (1,),
 ):
     l_total = centroids.shape[0]
     b = queries.shape[0]
@@ -50,8 +52,12 @@ def _local_ivf_scan(
     probed = jnp.zeros((b, l_total), bool)
     rows = jnp.arange(b)[:, None]
     probed = probed.at[rows, probe_ids].set(True)
-    # This shard owns lists [shard * L_l, (shard+1) * L_l).
-    shard = jax.lax.axis_index("lib")
+    # This shard owns lists [shard * L_l, (shard+1) * L_l).  With
+    # multi-axis list sharding (('dcn', 'lib') on multi-slice systems)
+    # the flat shard index is row-major over the named axes.
+    shard = jax.lax.axis_index(list_axes[0])
+    for name, size in zip(list_axes[1:], list_axis_sizes[1:]):
+        shard = shard * size + jax.lax.axis_index(name)
     local_probed = jax.lax.dynamic_slice(
         probed, (0, shard * lists_per_shard), (b, lists_per_shard)
     )  # (B, L_l)
@@ -85,8 +91,10 @@ def _local_ivf_scan(
     local_scores, pos = jax.lax.top_k(scores, k_local)
     local_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
     # Merge per-shard top-k over ICI.
-    all_scores = jax.lax.all_gather(local_scores, "lib", axis=0)
-    all_ids = jax.lax.all_gather(local_ids, "lib", axis=0)
+    # O(k) merge: one all-gather per list axis (DCN leg last and tiny
+    # on multi-slice meshes -- k entries per query per slice).
+    all_scores = jax.lax.all_gather(local_scores, list_axes, axis=0)
+    all_ids = jax.lax.all_gather(local_ids, list_axes, axis=0)
     s = all_scores.shape[0]
     merged_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(
         b, s * k_local
@@ -222,6 +230,110 @@ class ShardedIvfIndex:
             float(charge), float(tol_val), tol_mode,
         )
         return np.asarray(ids)[:b], np.asarray(scores)[:b]
+
+
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12))
+def _multislice_ivf_impl(
+    mesh, queries, query_prec, padded_vectors, padded_ids, padded_prec,
+    centroids,
+    num_probe: int, k: int, lists_per_shard: int,
+    charge: float, tol_val: float, tol_mode: str,
+):
+    """Sharded IVF scan with lists partitioned over ('dcn', 'lib').
+
+    The within-slice merge rides ICI; the across-slice merge is one
+    k-entry all-gather on DCN (BASELINE.md 100M+ north star; see
+    mesh.make_multislice_mesh for the axis convention)."""
+    fn = shard_map(
+        partial(
+            _local_ivf_scan,
+            num_probe=num_probe,
+            k=k,
+            lists_per_shard=lists_per_shard,
+            charge=charge,
+            tol_val=tol_val,
+            tol_mode=tol_mode,
+            list_axes=("dcn", "lib"),
+            list_axis_sizes=(
+                mesh.shape["dcn"], mesh.shape["lib"]
+            ),
+        ),
+        mesh=mesh,
+        in_specs=(
+            P("dp", None),  # queries (replicated over dcn/lib)
+            P("dp"),
+            P(("dcn", "lib"), None, None),  # lists over slices x chips
+            P(("dcn", "lib"), None),
+            P(("dcn", "lib"), None),
+            P(None, None),  # centroids replicated
+        ),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    return fn(
+        queries, query_prec, padded_vectors, padded_ids, padded_prec,
+        centroids,
+    )
+
+
+def multislice_ivf_search(
+    mesh: Mesh,
+    index,
+    queries: np.ndarray,
+    k: int,
+    num_probe: int = 0,
+    q_prec=None,
+    charge: float = 1.0,
+    tol_val: float = 0.0,
+    tol_mode: str = "Da",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Search an IvfIndex sharded over a ('dcn', 'dp', 'lib') mesh."""
+    num_probe = int(num_probe or index.num_probe)
+    n_lists = index.padded_vectors.shape[0]
+    n_shards = mesh.shape["dcn"] * mesh.shape["lib"]
+    if n_lists % n_shards != 0:
+        raise ValueError(
+            f"num_list={n_lists} must divide {n_shards} list shards"
+        )
+    b = len(queries)
+    queries = np.asarray(queries, np.float32)
+    if q_prec is None:
+        q_prec = np.zeros(b, np.float32)
+        tol_val = 0.0
+    q_prec = np.asarray(q_prec, np.float32)
+    dp = mesh.shape["dp"]
+    b_pad = -(-b // dp) * dp
+    if b_pad != b:
+        queries = np.concatenate(
+            [queries, np.zeros((b_pad - b, queries.shape[1]), np.float32)]
+        )
+        q_prec = np.concatenate([q_prec, np.zeros(b_pad - b, np.float32)])
+    list_spec = NamedSharding(mesh, P(("dcn", "lib"), None, None))
+    ids, scores = _multislice_ivf_impl(
+        mesh,
+        jax.device_put(
+            jnp.asarray(queries), NamedSharding(mesh, P("dp", None))
+        ),
+        jax.device_put(
+            jnp.asarray(q_prec), NamedSharding(mesh, P("dp"))
+        ),
+        jax.device_put(jnp.asarray(index.padded_vectors), list_spec),
+        jax.device_put(
+            jnp.asarray(index.padded_ids),
+            NamedSharding(mesh, P(("dcn", "lib"), None)),
+        ),
+        jax.device_put(
+            jnp.asarray(index.padded_prec, jnp.float32),
+            NamedSharding(mesh, P(("dcn", "lib"), None)),
+        ),
+        jax.device_put(
+            jnp.asarray(index.centroids, jnp.float32),
+            NamedSharding(mesh, P()),
+        ),
+        num_probe, k, n_lists // n_shards,
+        float(charge), float(tol_val), tol_mode,
+    )
+    return np.asarray(ids)[:b], np.asarray(scores)[:b]
 
 
 def sharded_ivf_search(

@@ -244,6 +244,9 @@ def main(args=None) -> int:
     results = {
         "corpus": {
             "n_library_spectra": len(library),
+            # --add_decoys interleaves one shuffled decoy per target, so
+            # the searched library holds twice this many spectra.
+            "n_library_spectra_with_decoys": 2 * len(library),
             "n_queries": len(queries),
             "n_foreign": sum(1 for v in truth.values() if v is None),
             "seed": parsed.seed,

@@ -41,7 +41,6 @@ from ann_solo_tpu.models.spectrum import (
     SpectrumSpectrumMatch,
     pack_spectra,
 )
-from ann_solo_tpu.ops.shifted_dot import shifted_dot_best_match
 from ann_solo_tpu.utils.profiling import device_trace, profiler
 
 logger = logging.getLogger(__name__)
@@ -446,14 +445,14 @@ class SpectralLibrary:
         n_peaks = np.asarray(
             [min(s.n_peaks, q_mz.shape[1]) for s in batch], np.int32
         )
-        vectors = np.asarray(
-            vectorize_batch(
-                vparams,
-                vparams.tables(),
-                q_mz,
-                q_int,
-                n_peaks,
-            )
+        # Vectors stay device-resident: the index consumes them directly
+        # (host round-trips through the tunnel cost ~10-20 ms/MB).
+        vectors = vectorize_batch(
+            vparams,
+            vparams.tables(),
+            q_mz,
+            q_int,
+            n_peaks,
         )
         index = self._ann_indexes[charge]
         q_prec = np.asarray([s.precursor_mz for s in batch], np.float32)
@@ -553,7 +552,16 @@ class SpectralLibrary:
     def _best_pair_matches(
         self, q_mz, q_int, q_prec, lib, rows, cand_idx, charge
     ):
-        """Peak matches for the best (query, candidate) pairs."""
+        """Peak matches for the best (query, candidate) pairs.
+
+        Runs the Pallas kernel's in-kernel match extraction on TPU
+        (SpectrumMatch.cpp full return contract); XLA greedy elsewhere.
+        """
+        from ann_solo_tpu.ops.shifted_dot_pallas import (
+            PAIR_BLOCK,
+            shifted_dot_best_match_auto,
+        )
+
         matches_by_row: Dict[int, np.ndarray] = {}
         allow_shift = bool(config.allow_peak_shifts)
         num_shifts = charge + 1 if allow_shift else 1
@@ -562,17 +570,22 @@ class SpectralLibrary:
         for start in range(0, len(rows), chunk):
             r = rows[start : start + chunk]
             c = cand_idx[start : start + chunk]
+            n = len(r)
+            if n % PAIR_BLOCK:  # pad to the kernel pair block
+                pad = PAIR_BLOCK - n % PAIR_BLOCK
+                r = np.concatenate([r, np.full(pad, r[0])])
+                c = np.concatenate([c, np.full(pad, c[0])])
             charges = np.full(len(r), charge, np.int32)
-            _, match_q, match_c = shifted_dot_best_match(
+            _, match_q, match_c = shifted_dot_best_match_auto(
                 q_mz[r], q_int[r],
                 lib.mz[c], lib.intensity[c], lib.ann_charge[c],
                 q_prec[r].astype(np.float32),
                 lib.precursor_mz[c].astype(np.float32),
                 charges, frag_tol, num_shifts, allow_shift,
             )
-            match_q = np.asarray(match_q)
-            match_c = np.asarray(match_c)
-            for j, row in enumerate(r):
+            match_q = np.asarray(match_q)[:n]
+            match_c = np.asarray(match_c)[:n]
+            for j, row in enumerate(r[:n]):
                 sel = match_q[j] >= 0
                 matches_by_row[int(row)] = np.column_stack(
                     [match_q[j][sel], match_c[j][sel]]

@@ -154,7 +154,7 @@ def main():
 
     def stage_select(q_vec, q_prec):
         return index.search(
-            np.asarray(q_vec), NUM_CANDIDATES,
+            q_vec, NUM_CANDIDATES,
             q_prec=q_prec.astype(np.float32), charge=float(CHARGE),
             tol_val=OPEN_TOL_DA, tol_mode="Da",
         )
@@ -200,8 +200,9 @@ def main():
     log("warmup (compile)")
     t0 = time.perf_counter()
     best_idx, _ = run_batch(*batches[0])
+    run_batch(*batches[1])  # second batch hits remaining code paths
     t_warm = time.perf_counter() - t0
-    log(f"warmup batch: {t_warm:.2f}s")
+    log(f"warmup (2 batches): {t_warm:.2f}s")
     # Sanity: noised copies of library rows must mostly match their row.
     hit_rate = float(np.mean(best_idx == batch_rows[0]))
     log(f"self-match hit rate: {hit_rate:.3f}")

@@ -3,9 +3,13 @@
 import numpy as np
 import pytest
 
-from ann_solo_tpu.ops.shifted_dot import shifted_dot_scores
+from ann_solo_tpu.ops.shifted_dot import (
+    shifted_dot_best_match,
+    shifted_dot_scores,
+)
 from ann_solo_tpu.ops.shifted_dot_pallas import (
     PAIR_BLOCK,
+    shifted_dot_pallas_full,
     shifted_dot_scores_pallas,
 )
 
@@ -44,3 +48,49 @@ def test_pallas_matches_xla(allow_shift):
         )
     )
     np.testing.assert_allclose(got, expected, rtol=2e-5, atol=1e-6)
+
+
+def test_pallas_in_kernel_match_extraction():
+    """The kernel's (P, K) match output must encode the same peak-match
+    set as the XLA greedy (SpectrumMatch.cpp full return contract)."""
+    rng = np.random.default_rng(29)
+    charge = 2
+    pairs = [
+        _random_pair(rng, 30, charge, mod_mass=rng.choice([0.0, 16.0]))
+        for _ in range(PAIR_BLOCK)
+    ]
+    k = 32
+    q_mz = _pad([p[0] for p in pairs], k)
+    q_int = _pad([p[1] for p in pairs], k)
+    c_mz = _pad([p[2] for p in pairs], k)
+    c_int = _pad([p[3] for p in pairs], k)
+    c_ann = _pad([p[4] for p in pairs], k)
+    q_prec = np.asarray([p[5] for p in pairs], np.float32)
+    c_prec = np.asarray([p[6] for p in pairs], np.float32)
+    charges = np.full(len(pairs), charge, np.int32)
+    tol = 0.02
+
+    total, match = shifted_dot_pallas_full(
+        q_mz, q_int, c_mz, c_int, c_ann, q_prec, c_prec, charges,
+        tol, charge + 1, True, interpret=True,
+    )
+    total = np.asarray(total)
+    match = np.asarray(match)
+    exp_total, exp_q, exp_c = shifted_dot_best_match(
+        q_mz, q_int, c_mz, c_int, c_ann, q_prec, c_prec, charges,
+        tol, charge + 1, True,
+    )
+    np.testing.assert_allclose(
+        total, np.asarray(exp_total), rtol=2e-5, atol=1e-6
+    )
+    exp_q, exp_c = np.asarray(exp_q), np.asarray(exp_c)
+    for p in range(PAIR_BLOCK):
+        got_set = {
+            (i, int(match[p, i]))
+            for i in range(k) if match[p, i] >= 0
+        }
+        exp_set = {
+            (int(a), int(b))
+            for a, b in zip(exp_q[p], exp_c[p]) if a >= 0
+        }
+        assert got_set == exp_set, f"pair {p}"
