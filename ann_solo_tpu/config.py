@@ -105,6 +105,15 @@ def _add_arguments(parser: argparse.ArgumentParser) -> None:
         "(0 = use all available JAX devices)",
     )
     parser.add_argument(
+        "--index_dtype",
+        default="bf16",
+        type=str,
+        choices=["bf16", "f32", "int8"],
+        help="IVF list storage precision: bf16 (default, the FAISS "
+        "useFloat16 analog), f32, or int8 (SQ8 per-row scales; halves "
+        "memory again for 100M+-vector libraries)",
+    )
+    parser.add_argument(
         "--rescore_pair_batch",
         default=16384,
         type=int,

@@ -126,6 +126,11 @@ def _pack_lists(
 
     One fused program: an eager op-by-op formulation compiles each step
     separately and is orders of magnitude slower on tunneled TPUs.
+
+    int8 storage quantizes per row (scale = max|v| / 127, the SQ8
+    scheme); scans multiply the dequantization scale back in.  Returns
+    (ids_flat, packed_block, packed_scales) -- scales are all-ones for
+    float dtypes.
     """
     n, d = vectors.shape
     ids_flat = (
@@ -134,12 +139,25 @@ def _pack_lists(
         .set(jnp.arange(n, dtype=jnp.int32))
     )
     safe = jnp.clip(ids_flat, 0, n - 1)
-    padded_vectors = (
-        jnp.where((ids_flat >= 0)[:, None], vectors[safe], 0.0)
-        .astype(storage_dtype)
-        .reshape(num_list, cap, d)
+    gathered = jnp.where(
+        (ids_flat >= 0)[:, None], vectors[safe], 0.0
+    )  # (L*cap, D) float32
+    if jnp.dtype(storage_dtype) == jnp.dtype("int8"):
+        scale = jnp.max(jnp.abs(gathered), axis=1) / 127.0  # (L*cap,)
+        q = jnp.round(
+            gathered / jnp.maximum(scale, 1e-30)[:, None]
+        ).astype(jnp.int8)
+        return (
+            ids_flat,
+            q.reshape(num_list, cap, d),
+            scale.astype(jnp.float32).reshape(num_list, cap),
+        )
+    padded_vectors = gathered.astype(storage_dtype).reshape(
+        num_list, cap, d
     )
-    return ids_flat, padded_vectors
+    return ids_flat, padded_vectors, jnp.ones(
+        (num_list, cap), jnp.float32
+    )
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -154,11 +172,12 @@ def _pack_prec(prec, ids_flat, num_list: int, cap: int):
 # Search
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
 def _ivf_search_tile(
     padded_vectors: jnp.ndarray,  # (L, cap, D) storage dtype
     padded_ids: jnp.ndarray,  # (L, cap) int32, -1 = padding
     padded_prec: jnp.ndarray,  # (L, cap) float32 precursor m/z (0 pad)
+    padded_scales: jnp.ndarray,  # (L, cap) float32 (int8 dequant; 1s)
     centroids: jnp.ndarray,  # (L, D) float32
     queries: jnp.ndarray,  # (TQ, D) float32
     q_prec: jnp.ndarray,  # (TQ,) float32 (ignored unless tol_val > 0)
@@ -203,10 +222,13 @@ def _ivf_search_tile(
         )
         vecs = padded_vectors[lists]  # (C, cap, D)
         ids = padded_ids[lists]  # (C, cap)
+        if vecs.dtype == jnp.int8:
+            vecs = vecs.astype(jnp.bfloat16)
         scores = jnp.einsum(
             "qd,cpd->qcp", queries, vecs,
             preferred_element_type=jnp.float32,
         )  # (TQ, C, cap)
+        scores = scores * padded_scales[lists][None, :, :]
         mask = (
             probed[:, lists][:, :, None]
             & (ids >= 0)[None, :, :]
@@ -248,11 +270,12 @@ def _ivf_search_tile(
     return top_scores, top_ids, dropped
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11))
 def _ivf_search_perquery(
     padded_vectors: jnp.ndarray,  # (L, cap, D)
     padded_ids: jnp.ndarray,  # (L, cap)
     padded_prec: jnp.ndarray,  # (L, cap)
+    padded_scales: jnp.ndarray,  # (L, cap)
     centroids: jnp.ndarray,  # (L, D)
     queries: jnp.ndarray,  # (B, D)
     q_prec: jnp.ndarray,  # (B,)
@@ -284,9 +307,12 @@ def _ivf_search_perquery(
         q, qp, probes = inp  # (G, D), (G,), (G, P)
         vecs = padded_vectors[probes]  # (G, P, cap, D)
         ids = padded_ids[probes]  # (G, P, cap)
+        if vecs.dtype == jnp.int8:
+            vecs = vecs.astype(jnp.bfloat16)
         scores = jnp.einsum(
             "gd,gpcd->gpc", q, vecs, preferred_element_type=jnp.float32
         )
+        scores = scores * padded_scales[probes]
         mask = ids >= 0
         if tol_val > 0:
             prec = padded_prec[probes]
@@ -336,6 +362,7 @@ class IvfIndex:
         padded_ids: np.ndarray,  # (L, cap)
         num_probe: int,
         padded_prec: Optional[np.ndarray] = None,  # (L, cap)
+        padded_scales: Optional[np.ndarray] = None,  # (L, cap), int8 SQ
     ):
         self.centroids = centroids
         self.padded_vectors = padded_vectors
@@ -344,6 +371,9 @@ class IvfIndex:
         if padded_prec is None:
             padded_prec = np.zeros(padded_ids.shape, np.float32)
         self.padded_prec = padded_prec
+        if padded_scales is None:
+            padded_scales = np.ones(padded_ids.shape, np.float32)
+        self.padded_scales = padded_scales
         self._device = None
         # Sticky: once a query batch shows tile-level list sharing does
         # not pay (most rows overflow the vote budget), later batches on
@@ -362,6 +392,7 @@ class IvfIndex:
             np.asarray(self.padded_vectors).nbytes
             + np.asarray(self.padded_ids).nbytes
             + np.asarray(self.padded_prec).nbytes
+            + np.asarray(self.padded_scales).nbytes
         )
         return total / max(n, 1)
 
@@ -372,6 +403,7 @@ class IvfIndex:
                 jnp.asarray(self.padded_vectors),
                 jnp.asarray(self.padded_ids),
                 jnp.asarray(self.padded_prec),
+                jnp.asarray(self.padded_scales),
                 jnp.asarray(self.centroids, jnp.float32),
             )
         return self._device
@@ -440,9 +472,9 @@ class IvfIndex:
         flat_slot = (
             placed_list.astype(np.int64) * cap + placed_pos
         )
-        ids_flat, padded_vectors = _pack_lists(
+        ids_flat, padded_vectors, padded_scales = _pack_lists(
             vectors_d, jnp.asarray(flat_slot), num_list, cap,
-            storage_dtype,
+            jnp.dtype(storage_dtype),
         )
         padded_ids = ids_flat.reshape(num_list, cap)
         if precursor_mz is not None:
@@ -459,7 +491,7 @@ class IvfIndex:
         )
         return cls(
             np.asarray(centroids), padded_vectors, padded_ids,
-            int(config.num_probe), padded_prec,
+            int(config.num_probe), padded_prec, padded_scales,
         )
 
     @classmethod
@@ -495,9 +527,19 @@ class IvfIndex:
                 )
             )
         vectors = jnp.concatenate(chunks, axis=0)
+        dtype_by_name = {
+            "bf16": ml_dtypes.bfloat16,
+            "f32": np.float32,
+            "int8": np.int8,
+        }
+        try:
+            dtype_name = str(config.index_dtype)
+        except (KeyError, AttributeError):  # config without the TPU knob
+            dtype_name = "bf16"
         index = cls.build(
             vectors, config,
             precursor_mz=np.asarray(lib.precursor_mz, np.float32),
+            storage_dtype=dtype_by_name[dtype_name],
         )
         index.save(filename)
         return index
@@ -519,6 +561,9 @@ class IvfIndex:
             f.create_dataset(
                 "padded_prec", data=np.asarray(self.padded_prec)
             )
+            f.create_dataset(
+                "padded_scales", data=np.asarray(self.padded_scales)
+            )
 
     @classmethod
     def load(cls, filename: str, num_probe: int) -> "IvfIndex":
@@ -535,6 +580,7 @@ class IvfIndex:
                 f["padded_ids"][()],
                 num_probe,
                 f["padded_prec"][()] if "padded_prec" in f else None,
+                f["padded_scales"][()] if "padded_scales" in f else None,
             )
 
     # ------------------------------------------------------------------ #
@@ -590,7 +636,9 @@ class IvfIndex:
         if q_prec is None:
             q_prec = np.zeros(b, np.float32)
             tol_val = 0.0
-        vectors_d, ids_d, prec_d, centroids_d = self.device_arrays()
+        vectors_d, ids_d, prec_d, scales_d, centroids_d = (
+            self.device_arrays()
+        )
         charge_d = jnp.float32(charge)
         l = self.num_list
         budget = min(l, max(_TILE_LIST_SLACK * num_probe, num_probe + 8))
@@ -600,7 +648,7 @@ class IvfIndex:
             # Device-resident fast path: all queries through the exact
             # per-query gather scan, one program, one download.
             scores, ids = _ivf_search_perquery(
-                vectors_d, ids_d, prec_d, centroids_d,
+                vectors_d, ids_d, prec_d, scales_d, centroids_d,
                 jnp.asarray(queries, jnp.float32),
                 jnp.asarray(q_prec, jnp.float32),
                 charge_d, num_probe, k, tol_val, tol_mode,
@@ -640,7 +688,7 @@ class IvfIndex:
                     [tile_prec, np.zeros(pad, np.float32)]
                 )
             scores, ids, dropped = _ivf_search_tile(
-                vectors_d, ids_d, prec_d, centroids_d,
+                vectors_d, ids_d, prec_d, scales_d, centroids_d,
                 tile, tile_prec, charge_d,
                 num_probe, budget, _LIST_CHUNK, k, tol_val, tol_mode,
             )
@@ -669,7 +717,7 @@ class IvfIndex:
                 [retry_rows, np.full(n_pad - n_retry, retry_rows[0])]
             )
             scores, ids = _ivf_search_perquery(
-                vectors_d, ids_d, prec_d, centroids_d,
+                vectors_d, ids_d, prec_d, scales_d, centroids_d,
                 jnp.asarray(queries[padded_rows]),
                 jnp.asarray(q_prec[padded_rows]),
                 charge_d, num_probe, k, tol_val, tol_mode,

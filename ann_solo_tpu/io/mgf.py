@@ -42,8 +42,21 @@ def read_mgf(filename: str) -> Iterator[Spectrum]:
 
     Mirrors the reference `read_mgf` (reader.py:868-911): identifier from
     TITLE (or SCAN), precursor from PEPMASS/CHARGE, optional RTINSECONDS,
-    SEQ (library MGFs), and a DECOY flag.
+    SEQ (library MGFs), and a DECOY flag.  Dispatches to the native C++
+    one-pass parser (native/mgf_parser.cpp) when the toolchain is
+    available; this pure-Python implementation is the fallback and the
+    parity oracle.
     """
+    from ann_solo_tpu.io import mgf_native
+
+    if mgf_native.available():
+        yield from mgf_native.read_mgf_native(filename)
+        return
+    yield from read_mgf_python(filename)
+
+
+def read_mgf_python(filename: str) -> Iterator[Spectrum]:
+    """Pure-Python MGF reader (reference semantics; see `read_mgf`)."""
     with open(filename) as f_in:
         index = 0
         params = {}

@@ -52,7 +52,12 @@ def hyperparameter_hash(config) -> str:
         "max_peaks_used_library", "scaling", "resolution",
         "remove_precursor", "remove_precursor_tolerance",
     ]
-    payload = json.dumps({k: config[k] for k in keys}).encode("utf-8")
+    values = {k: config[k] for k in keys}
+    try:  # TPU knob; absent from injected test configs
+        values["index_dtype"] = config["index_dtype"]
+    except (KeyError, AttributeError):
+        pass
+    payload = json.dumps(values).encode("utf-8")
     return hashlib.sha1(payload).hexdigest()
 
 

@@ -33,6 +33,7 @@ def _local_ivf_scan(
     padded_vectors,  # (L_l, P, D) lists owned by this shard
     padded_ids,  # (L_l, P) global row ids, -1 padded
     padded_prec,  # (L_l, P) precursor m/z per stored vector
+    padded_scales,  # (L_l, P) int8 dequantization scales (1s otherwise)
     centroids,  # (L, D) replicated
     num_probe: int,
     k: int,
@@ -63,10 +64,13 @@ def _local_ivf_scan(
     )  # (B, L_l)
 
     l_l, p, d = padded_vectors.shape
+    if padded_vectors.dtype == jnp.int8:
+        padded_vectors = padded_vectors.astype(jnp.bfloat16)
     scores = jnp.einsum(
         "qd,lpd->qlp", queries, padded_vectors,
         preferred_element_type=jnp.float32,
     )  # (B, L_l, P)
+    scores = scores * padded_scales[None, :, :]
     mask = local_probed[:, :, None] & (padded_ids >= 0)[None, :, :]
     if tol_val > 0:
         # Precursor window fused into the shard-local scan mask (same
@@ -105,10 +109,10 @@ def _local_ivf_scan(
     return jnp.where(top_scores > -jnp.inf, top_ids, -1), top_scores
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12, 13))
 def _sharded_ivf_impl(
     mesh, queries, query_prec, padded_vectors, padded_ids, padded_prec,
-    centroids,
+    padded_scales, centroids,
     num_probe: int, k: int, lists_per_shard: int,
     charge: float, tol_val: float, tol_mode: str,
 ):
@@ -129,6 +133,7 @@ def _sharded_ivf_impl(
             P("lib", None, None),  # lists
             P("lib", None),  # ids
             P("lib", None),  # stored precursor m/z
+            P("lib", None),  # dequantization scales
             P(None, None),  # centroids replicated
         ),
         out_specs=(P("dp", None), P("dp", None)),
@@ -136,7 +141,7 @@ def _sharded_ivf_impl(
     )
     return fn(
         queries, query_prec, padded_vectors, padded_ids, padded_prec,
-        centroids,
+        padded_scales, centroids,
     )
 
 
@@ -163,6 +168,10 @@ class ShardedIvfIndex:
         )
         self.prec_s = jax.device_put(
             jnp.asarray(index.padded_prec, jnp.float32),
+            NamedSharding(mesh, P("lib", None)),
+        )
+        self.scales_s = jax.device_put(
+            jnp.asarray(index.padded_scales, jnp.float32),
             NamedSharding(mesh, P("lib", None)),
         )
         self.centroids_s = jax.device_put(
@@ -225,17 +234,18 @@ class ShardedIvfIndex:
         )
         ids, scores = _sharded_ivf_impl(
             self.mesh, queries_s, q_prec_s,
-            self.vectors_s, self.ids_s, self.prec_s, self.centroids_s,
+            self.vectors_s, self.ids_s, self.prec_s, self.scales_s,
+            self.centroids_s,
             num_probe, k, self.lists_per_shard,
             float(charge), float(tol_val), tol_mode,
         )
         return np.asarray(ids)[:b], np.asarray(scores)[:b]
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12, 13))
 def _multislice_ivf_impl(
     mesh, queries, query_prec, padded_vectors, padded_ids, padded_prec,
-    centroids,
+    padded_scales, centroids,
     num_probe: int, k: int, lists_per_shard: int,
     charge: float, tol_val: float, tol_mode: str,
 ):
@@ -265,6 +275,7 @@ def _multislice_ivf_impl(
             P(("dcn", "lib"), None, None),  # lists over slices x chips
             P(("dcn", "lib"), None),
             P(("dcn", "lib"), None),
+            P(("dcn", "lib"), None),  # dequantization scales
             P(None, None),  # centroids replicated
         ),
         out_specs=(P("dp", None), P("dp", None)),
@@ -272,7 +283,7 @@ def _multislice_ivf_impl(
     )
     return fn(
         queries, query_prec, padded_vectors, padded_ids, padded_prec,
-        centroids,
+        padded_scales, centroids,
     )
 
 
@@ -324,6 +335,10 @@ def multislice_ivf_search(
         ),
         jax.device_put(
             jnp.asarray(index.padded_prec, jnp.float32),
+            NamedSharding(mesh, P(("dcn", "lib"), None)),
+        ),
+        jax.device_put(
+            jnp.asarray(index.padded_scales, jnp.float32),
             NamedSharding(mesh, P(("dcn", "lib"), None)),
         ),
         jax.device_put(

@@ -91,6 +91,45 @@ def test_ivf_recall_vs_bruteforce():
     assert index.bytes_per_vector < index_f32.bytes_per_vector * 0.6
 
 
+def test_ivf_int8_storage_recall_and_memory():
+    """SQ8 int8 lists (per-row scales): ~4x smaller than f32 with a
+    negligible recall delta -- the memory mode for 100M+-vector
+    libraries on a v5e-8."""
+    rng = np.random.default_rng(67)
+    vectors = _clustered_vectors(rng, n=6000, d=64, n_clusters=32)
+    queries = vectors[rng.choice(len(vectors), 200, replace=False)]
+    queries += 0.05 * rng.normal(size=queries.shape).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    k = 32
+    exact = bruteforce_search(vectors, queries, k)
+    cfg = IvfConfig(num_list=32, num_probe=32)
+    f32 = IvfIndex.build(vectors, cfg, storage_dtype=np.float32)
+    int8 = IvfIndex.build(vectors, cfg, storage_dtype=np.int8)
+
+    def recall(index):
+        got = index.search(queries, k)
+        return np.mean(
+            [len(set(exact[i]) & set(got[i][got[i] >= 0])) / k
+             for i in range(len(queries))]
+        )
+
+    r_f32, r_int8 = recall(f32), recall(int8)
+    assert r_f32 > 0.999  # full probing, f32 = exact
+    assert r_f32 - r_int8 < 0.02, (r_f32, r_int8)
+    assert int8.bytes_per_vector < f32.bytes_per_vector / 3
+    # Round-trips through .h5 persistence.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/int8.ivf.h5"
+        int8.save(path)
+        loaded = IvfIndex.load(path, num_probe=32)
+        assert loaded.padded_vectors.dtype == np.int8
+        np.testing.assert_array_equal(
+            loaded.search(queries[:16], 8), int8.search(queries[:16], 8)
+        )
+
+
 def test_ivf_recall_at_fixed_probe_budget():
     """Recall pinned at a budget-limited operating point: the tile
     budget (4 * num_probe = 32) is far below num_list=128, so a future

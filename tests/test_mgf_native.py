@@ -1,0 +1,94 @@
+"""Native C++ MGF parser vs the pure-Python reader (parity oracle)."""
+
+import numpy as np
+import pytest
+
+from ann_solo_tpu.io import mgf_native
+from ann_solo_tpu.io.mgf import read_mgf, read_mgf_python, write_mgf
+
+from synth import make_library, noisy_query
+
+pytestmark = pytest.mark.skipif(
+    not mgf_native.available(), reason="native toolchain unavailable"
+)
+
+
+def _edge_case_mgf(path):
+    path.write_text(
+        "# leading comment outside blocks\n"
+        "BEGIN IONS\n"
+        "TITLE=spectrum one\n"
+        "PEPMASS=512.25 1000.0\n"
+        "CHARGE=2+\n"
+        "RTINSECONDS=73.5\n"
+        "100.5 10.0\n"
+        "200.25 20.5 extra ignored\n"
+        "END IONS\n"
+        "\n"
+        "BEGIN IONS\n"
+        "SCAN=42\n"
+        "PEPMASS=800.125\n"
+        "CHARGE=3-\n"
+        "SEQ=+42.011AC+57.021DEK\n"
+        "DECOY=1\n"
+        "150.0\t1.5\n"
+        "END IONS\n"
+        "BEGIN IONS\n"
+        "PEPMASS=300.0\n"
+        "305.1 3.0\n"
+        "310.2 4.0\n"
+        "END IONS\n"
+    )
+    return str(path)
+
+
+def _compare(filename):
+    native = list(mgf_native.read_mgf_native(filename))
+    python = list(read_mgf_python(filename))
+    assert len(native) == len(python)
+    for a, b in zip(native, python):
+        assert a.identifier == b.identifier
+        assert a.precursor_charge == b.precursor_charge
+        assert a.is_decoy == b.is_decoy
+        assert a.peptide == b.peptide
+        assert (a.retention_time is None) == (b.retention_time is None)
+        if a.retention_time is not None:
+            assert a.retention_time == pytest.approx(b.retention_time)
+        assert a.precursor_mz == pytest.approx(b.precursor_mz, abs=1e-12)
+        np.testing.assert_array_equal(a.mz, b.mz)
+        np.testing.assert_array_equal(a.intensity, b.intensity)
+
+
+def test_edge_cases_match_python(tmp_path):
+    filename = _edge_case_mgf(tmp_path / "edge.mgf")
+    _compare(filename)
+    native = list(mgf_native.read_mgf_native(filename))
+    assert native[0].identifier == "spectrum one"
+    assert native[0].precursor_charge == 2
+    assert native[1].identifier == "42"  # SCAN fallback
+    assert native[1].precursor_charge == -3
+    assert native[1].is_decoy
+    assert native[1].peptide is not None  # SEQ converted to ProForma
+    assert native[2].identifier == "3"  # index fallback
+    assert native[2].precursor_charge is None
+    assert native[2].retention_time is None
+
+
+def test_synthetic_roundtrip_matches_python(tmp_path):
+    rng = np.random.default_rng(71)
+    _, spectra = make_library(rng, n_peptides=25)
+    queries = [noisy_query(s, rng, f"q{i}") for i, s in enumerate(spectra)]
+    filename = str(tmp_path / "lib.mgf")
+    write_mgf(spectra + queries, filename)
+    _compare(filename)
+
+
+def test_read_mgf_dispatches_to_native(tmp_path):
+    filename = _edge_case_mgf(tmp_path / "edge2.mgf")
+    assert len(list(read_mgf(filename))) == 3
+
+
+def test_empty_file(tmp_path):
+    path = tmp_path / "empty.mgf"
+    path.write_text("")
+    assert list(mgf_native.read_mgf_native(str(path))) == []
