@@ -79,11 +79,22 @@ def mass_diff_histogram(
 
 def main(args=None) -> int:
     parser = argparse.ArgumentParser(
-        description="Summarize an ANN-SoLo-TPU mzTab result file"
+        description="Summarize an ANN-SoLo-TPU mzTab result file "
+        "(or run the full quality benchmark: "
+        "`... eval quality [options]`, see ann_solo_tpu.quality)"
     )
     parser.add_argument("mztab_filename")
     parser.add_argument("--fdr", type=float, default=0.01)
-    parsed = parser.parse_args(args)
+    import sys
+
+    argv = list(sys.argv[1:] if args is None else args)
+    if argv and argv[0] == "quality":
+        # Full bf-vs-ann quality benchmark on a synthetic ground-truth
+        # corpus (IDs@FDR, accuracy, ANN candidate recall curve).
+        from ann_solo_tpu.quality import main as quality_main
+
+        return quality_main(argv[1:])
+    parsed = parser.parse_args(argv)
     ssms = read_mztab_ssms(parsed.mztab_filename)
     print(json.dumps(ssm_stats(ssms, parsed.fdr), indent=2))
     return 0
