@@ -113,13 +113,6 @@ def _add_arguments(parser: argparse.ArgumentParser) -> None:
         "useFloat16 analog), f32, or int8 (SQ8 per-row scales; halves "
         "memory again for 100M+-vector libraries)",
     )
-    parser.add_argument(
-        "--rescore_pair_batch",
-        default=16384,
-        type=int,
-        help="number of (query, candidate) pairs rescored per device "
-        "kernel launch",
-    )
     # Prosit / Koina (remote prediction of FASTA libraries).
     parser.add_argument("--prosit_batch_size", default=1000, type=int)
     parser.add_argument(

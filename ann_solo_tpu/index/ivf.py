@@ -57,10 +57,16 @@ _TRAIN_POINTS_PER_CENTROID = 256  # FAISS subsampling rule
 
 
 def ivf_index_filename(
-    library_filename: str, config_hash: str, charge: int
+    library_filename: str, config_hash: str, charge: int,
+    index_dtype: str = "bf16",
 ) -> str:
+    """Per-charge index path (reference's .idxann naming,
+    spectral_library.py:98-116).  Index-only settings (storage dtype)
+    key the filename rather than the shared store hash, so switching
+    them rebuilds just the index."""
     base = os.path.splitext(library_filename)[0]
-    return f"{base}_{config_hash[:7]}_{charge}.ivf.h5"
+    suffix = "" if index_dtype == "bf16" else f"_{index_dtype}"
+    return f"{base}_{config_hash[:7]}_{charge}{suffix}.ivf.h5"
 
 
 # --------------------------------------------------------------------- #
@@ -514,7 +520,7 @@ class IvfIndex:
         )
 
         vparams = VectorizeParams.from_config(config)
-        tables = vparams.tables()
+        tables = vparams.device_tables()
         chunks = []
         step = 8192
         for start in range(0, lib.n_spectra, step):

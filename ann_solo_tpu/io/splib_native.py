@@ -34,10 +34,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not os.path.isfile(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "splib_parser.cpp")
+    stale = os.path.isfile(_LIB_PATH) and os.path.isfile(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if not os.path.isfile(_LIB_PATH) or stale:
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
+                ["make", "-C", _NATIVE_DIR, "-B", "libsplib_parser.so"],
                 check=True,
                 capture_output=True,
                 timeout=120,

@@ -52,12 +52,11 @@ def hyperparameter_hash(config) -> str:
         "max_peaks_used_library", "scaling", "resolution",
         "remove_precursor", "remove_precursor_tolerance",
     ]
-    values = {k: config[k] for k in keys}
-    try:  # TPU knob; absent from injected test configs
-        values["index_dtype"] = config["index_dtype"]
-    except (KeyError, AttributeError):
-        pass
-    payload = json.dumps(values).encode("utf-8")
+    # NOTE: index-only settings (e.g. --index_dtype) are deliberately NOT
+    # part of this hash -- changing them must not invalidate the (far
+    # more expensive) spectral-library store; they key the per-charge
+    # index filename instead (index.ivf.ivf_index_filename).
+    payload = json.dumps({k: config[k] for k in keys}).encode("utf-8")
     return hashlib.sha1(payload).hexdigest()
 
 

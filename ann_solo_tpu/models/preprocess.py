@@ -43,6 +43,12 @@ class PreprocessParams(NamedTuple):
     min_intensity: float = 0.01
     max_peaks_used: int = 50
     scaling: Optional[str] = "rank"
+    # Static unroll bound for reduced-charge precursor-peak removal
+    # (spectrum_utils iterates 1..precursor_charge; a jitted pipeline
+    # needs a compile-time bound).  Charges above this are masked out
+    # per row, so only precursors with charge > 16 -- outside any
+    # spectral-library workflow -- would diverge from the reference.
+    max_removal_charge: int = 16
 
     @classmethod
     def from_config(cls, config, is_library: bool) -> "PreprocessParams":
@@ -198,8 +204,7 @@ def preprocess_batch(
             precursor_mz.astype(jnp.float32) - jnp.float32(PROTON)
         ) * prec_charge  # (B,)
         near = jnp.zeros_like(valid)
-        max_charge = 10  # static unroll bound; rows mask their own charge
-        for c in range(1, max_charge + 1):
+        for c in range(1, params.max_removal_charge + 1):
             active = (jnp.float32(c) <= prec_charge)[:, None]
             for iso in range(3):
                 target = (

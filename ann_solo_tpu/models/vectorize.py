@@ -85,6 +85,11 @@ class VectorizeParams(NamedTuple):
         """Bucket table + exact float64 bin-edge tables (host, cached)."""
         return _tables_cached(self)
 
+    def device_tables(self) -> VectorizeTables:
+        """`tables()` as device-resident arrays (cached): repeated
+        vectorize calls must not re-upload the ~0.4 MB tables."""
+        return _device_tables_cached(self)
+
 
 @functools.lru_cache(maxsize=None)
 def _tables_cached(params: "VectorizeParams") -> VectorizeTables:
@@ -113,6 +118,14 @@ def _tables_cached(params: "VectorizeParams") -> VectorizeTables:
         axis=1
     ).astype(np.float32)
     return VectorizeTables(params.bin_to_hash(), thresholds)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_tables_cached(params: "VectorizeParams") -> VectorizeTables:
+    host = _tables_cached(params)
+    return VectorizeTables(
+        jnp.asarray(host.bucket), jnp.asarray(host.thresholds)
+    )
 
 
 @partial(jax.jit, static_argnums=(0, 5))

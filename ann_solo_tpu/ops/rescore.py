@@ -5,16 +5,14 @@ orchestration: 16k-pair chunks each did a device->host score download and
 a NumPy segment-max (round-1 search.py:455-483).  Here the full
 (batch x num_candidates) rescore runs as device programs:
 
-* `rescore_candidate_matrix`: one jitted program takes the (B, C)
-  candidate-id matrix straight from the ANN index (device-resident),
-  gathers peak blocks on device, scores every pair with the shifted-dot
-  kernel (Pallas on TPU, XLA elsewhere) in C-chunks, and returns the
-  per-query best candidate + score.  One transfer in (ids), one out
-  (best per query).
-* `pair_chunk_update`: for the ragged precursor-window path (std / bf
-  search), a jitted segment-max update keeps the per-query running best
-  ON DEVICE across pair chunks; the host loop just streams index chunks
-  and never synchronizes until the end.
+`rescore_candidate_matrix` takes a (B, C) candidate-id matrix (from the
+ANN index, or window row ranges expanded by the engine), computes every
+pair's row-max-sum upper bound + exactness flag in one chunked device
+pass, and runs the real greedy kernel (Pallas on TPU, XLA elsewhere)
+only for queries whose winner is in doubt -- certified exact.  All
+device programs have fixed shapes (chunked / bucketed) because dynamic
+shapes recompile per batch, which dominates wall time on tunneled TPU
+backends.
 
 Reference semantics: `spectral_library.py:328-455` batch search +
 `SpectrumMatch.cpp` best-candidate selection (first-best wins on exact
@@ -31,8 +29,6 @@ import numpy as np
 
 from ann_solo_tpu.ops.shifted_dot import pair_score_matrix
 from ann_solo_tpu.ops.shifted_dot_pallas import gather_pair_scores
-
-_INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
 def _gather_pair_peaks(
@@ -276,45 +272,3 @@ def rescore_candidate_matrix(
         best_idx[failures] = cand_np[failures, f_best]
         best_score[failures] = scores[f_rows, f_best]
     return best_idx, best_score, n_cands
-
-
-@functools.partial(jax.jit, static_argnums=(12, 13, 14))
-def pair_chunk_update(
-    best_score,  # (B,) float32 running best (device)
-    best_idx,  # (B,) int32 running best candidate row (device)
-    q_mz, q_int, q_prec,
-    lib_mz, lib_int, lib_ann, lib_prec,
-    pair_q, pair_c,  # (P,) int32 chunk of (query, candidate) pairs
-    pair_count,  # valid prefix length of this chunk (traced scalar)
-    fragment_mz_tolerance: float,
-    num_shifts: int,
-    allow_shift: bool,
-):
-    """Score one fixed-size pair chunk and fold it into the running best.
-
-    The segment-max (and its arg) run on device, so the host never sees
-    intermediate scores -- chunks pipeline asynchronously.
-    """
-    p = pair_q.shape[0]
-    valid = jnp.arange(p) < pair_count
-    from ann_solo_tpu.ops.shifted_dot_pallas import use_pallas_default
-
-    scores = gather_pair_scores(
-        q_mz, q_int, q_prec,
-        lib_mz, lib_int, lib_ann, lib_prec,
-        pair_q, pair_c, valid,
-        fragment_mz_tolerance, num_shifts, allow_shift,
-        use_pallas_default(),
-    )
-    b = best_score.shape[0]
-    seg_max = jax.ops.segment_max(
-        jnp.where(valid, scores, -jnp.inf), pair_q, num_segments=b
-    )
-    improved = seg_max > best_score
-    is_best = valid & (scores >= seg_max[pair_q])
-    arg = jax.ops.segment_min(
-        jnp.where(is_best, pair_c, _INT32_MAX), pair_q, num_segments=b
-    )
-    new_idx = jnp.where(improved, arg, best_idx)
-    new_score = jnp.maximum(best_score, seg_max)
-    return new_score, new_idx

@@ -234,15 +234,27 @@ def shifted_dot_best_match_auto(
         and p % PAIR_BLOCK == 0
         and max(k, c_mz.shape[1]) <= 128
     ):
+        # The kernel expects equal peak widths on both sides; pad the
+        # narrower one (query and library max_peaks settings may differ).
+        qm, qi = jnp.asarray(q_mz), jnp.asarray(q_int)
+        cm, ci = jnp.asarray(c_mz), jnp.asarray(c_int)
+        ca = jnp.asarray(c_ann)
+        kk = max(k, cm.shape[1])
+        if qm.shape[1] < kk:
+            pad = [(0, 0), (0, kk - qm.shape[1])]
+            qm, qi = jnp.pad(qm, pad), jnp.pad(qi, pad)
+        if cm.shape[1] < kk:
+            pad = [(0, 0), (0, kk - cm.shape[1])]
+            cm, ci = jnp.pad(cm, pad), jnp.pad(ci, pad)
+            ca = jnp.pad(ca, pad, constant_values=-1)
         total, match = shifted_dot_pallas_full(
-            jnp.asarray(q_mz), jnp.asarray(q_int),
-            jnp.asarray(c_mz), jnp.asarray(c_int), jnp.asarray(c_ann),
+            qm, qi, cm, ci, ca,
             jnp.asarray(q_prec_mz), jnp.asarray(c_prec_mz),
             jnp.asarray(charge),
             fragment_mz_tolerance, num_shifts, allow_shift,
         )
         match_q = jnp.where(
-            match >= 0, jnp.arange(k, dtype=jnp.int32)[None, :], -1
+            match >= 0, jnp.arange(kk, dtype=jnp.int32)[None, :], -1
         )
         return total, match_q, match
     from ann_solo_tpu.ops.shifted_dot import shifted_dot_best_match

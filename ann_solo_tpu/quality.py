@@ -162,7 +162,7 @@ def _ann_recall_curve(lib_path, query_path, bf_matches, parsed):
         vparams = VectorizeParams.from_config(config)
         vectors = np.asarray(
             vectorize_batch(
-                vparams, vparams.tables(), q_mz, q_int, n_peaks
+                vparams, vparams.device_tables(), q_mz, q_int, n_peaks
             )
         )
         cand = library._ann_indexes[charge].search(

@@ -136,7 +136,6 @@ class SpectralLibrary:
         self._charge_libs: Dict[int, _ChargeLibrary] = {}
         self._ann_indexes: Dict[int, object] = {}
         self._num_candidates = int(config.num_candidates)
-        self._pair_batch = int(config.rescore_pair_batch)
         self._mesh = None
         if config.mode == "ann":
             self._mesh = self._make_library_mesh()
@@ -193,8 +192,12 @@ class SpectralLibrary:
             lib = self._get_charge_lib(charge)
             if lib is None or lib.n_spectra < int(config.num_list):
                 continue
+            try:
+                index_dtype = str(config.index_dtype)
+            except (KeyError, AttributeError):
+                index_dtype = "bf16"
             filename = ivf_index_filename(
-                self._filename, config_hash, charge
+                self._filename, config_hash, charge, index_dtype
             )
             index = IvfIndex.load_or_build(filename, lib, config)
             if self._mesh is not None:
@@ -449,7 +452,7 @@ class SpectralLibrary:
         # (host round-trips through the tunnel cost ~10-20 ms/MB).
         vectors = vectorize_batch(
             vparams,
-            vparams.tables(),
+            vparams.device_tables(),
             q_mz,
             q_int,
             n_peaks,
@@ -476,24 +479,42 @@ class SpectralLibrary:
         frag_tol = float(config.fragment_mz_tolerance)
         lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d = lib.device_arrays()
         b = q_mz.shape[0]
-        sub = 1024  # queries per device program (bounds gather memory)
+        # Queries per device program: bounds gather memory at 1024, and
+        # small batches pad up to power-of-two buckets so distinct batch
+        # sizes never compile fresh programs.
+        sub = 64
+        while sub < min(b, 1024):
+            sub *= 2
+        cand_ids = np.asarray(cand_ids)
         outs = []
         for start in range(0, b, sub):
             stop = min(start + sub, b)
-            outs.append(
-                rescore_candidate_matrix(
-                    jnp.asarray(q_mz[start:stop]),
-                    jnp.asarray(q_int[start:stop]),
-                    jnp.asarray(q_prec[start:stop], jnp.float32),
-                    lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
-                    jnp.asarray(cand_ids[start:stop], jnp.int32),
-                    frag_tol, num_shifts, allow_shift,
-                    use_pallas_default(),
+            n = stop - start
+            sl = slice(start, stop)
+            qm, qi = q_mz[sl], q_int[sl]
+            qp, ci = q_prec[sl], cand_ids[sl]
+            if n < sub:  # pad the tail to the compiled shape
+                pad = sub - n
+                qm = np.concatenate([qm, np.zeros((pad,) + qm.shape[1:],
+                                                  qm.dtype)])
+                qi = np.concatenate([qi, np.zeros((pad,) + qi.shape[1:],
+                                                  qi.dtype)])
+                qp = np.concatenate([qp, np.zeros(pad, qp.dtype)])
+                ci = np.concatenate(
+                    [ci, np.full((pad, ci.shape[1]), -1, ci.dtype)]
                 )
+            out = rescore_candidate_matrix(
+                jnp.asarray(qm), jnp.asarray(qi),
+                jnp.asarray(qp, jnp.float32),
+                lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
+                jnp.asarray(ci, jnp.int32),
+                frag_tol, num_shifts, allow_shift,
+                use_pallas_default(),
             )
-        best_idx = np.concatenate([np.asarray(o[0]) for o in outs])
-        best_score = np.concatenate([np.asarray(o[1]) for o in outs])
-        n_cands = np.concatenate([np.asarray(o[2]) for o in outs])
+            outs.append(tuple(np.asarray(o)[:n] for o in out))
+        best_idx = np.concatenate([o[0] for o in outs])
+        best_score = np.concatenate([o[1] for o in outs])
+        n_cands = np.concatenate([o[2] for o in outs])
         return best_idx.astype(np.int64), best_score, n_cands
 
     def _rescore_window_ranges(

@@ -82,7 +82,7 @@ def main():
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(42)
     vparams = VectorizeParams(11.0, 2010.0, 0.04, HASH_LEN)
-    tables = jax.tree.map(jnp.asarray, vparams.tables())
+    tables = vparams.device_tables()
 
     log(f"build synthetic library: {N_LIBRARY} spectra")
     lib_mz, lib_int, lib_ann, lib_n, lib_prec = synth_processed(

@@ -147,14 +147,14 @@ Parsed* parse(const char* data, size_t size) {
       continue;
     }
     if (!in_ions) continue;
-    if (!std::isdigit(static_cast<unsigned char>(line[0]))) {
-      const char* eq =
-          static_cast<const char*>(std::memchr(line, '=', len));
-      if (eq != nullptr) {
-        handle_param(*out, line, static_cast<size_t>(eq - line), eq + 1,
-                     len - static_cast<size_t>(eq - line) - 1, title, scan,
-                     seq);
-      }
+    // Python-reader rule: a parameter line contains '=' AND does not
+    // start with a digit; everything else is tried as a peak line.
+    const char* eq = static_cast<const char*>(std::memchr(line, '=', len));
+    if (eq != nullptr &&
+        !std::isdigit(static_cast<unsigned char>(line[0]))) {
+      handle_param(*out, line, static_cast<size_t>(eq - line), eq + 1,
+                   len - static_cast<size_t>(eq - line) - 1, title, scan,
+                   seq);
       continue;
     }
     // Peak line: "mz intensity [extras]".
@@ -166,6 +166,17 @@ Parsed* parse(const char* data, size_t size) {
     if (end == rest) continue;  // need two numeric fields
     out->mz.push_back(peak_mz);
     out->intensity.push_back(peak_int);
+  }
+  if (in_ions) {
+    // Unterminated final block (truncated file): drop it, like the
+    // Python reader -- the offset arrays only grow at END IONS, so the
+    // metadata arrays must shrink back in step.
+    out->precursor_mz.pop_back();
+    out->precursor_charge.pop_back();
+    out->retention_time.pop_back();
+    out->is_decoy.pop_back();
+    out->mz.resize(static_cast<size_t>(out->peak_offsets.back()));
+    out->intensity.resize(static_cast<size_t>(out->peak_offsets.back()));
   }
   return out;
 }

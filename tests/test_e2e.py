@@ -63,7 +63,6 @@ def _run_search(setup, out_name, **kwargs):
         "--min_peaks", "5",
         "--model", "none",
         "--batch_size", "512",
-        "--rescore_pair_batch", "1024",
         "--fdr", "0.05",
         "--add_decoys",
     ]

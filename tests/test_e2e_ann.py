@@ -53,7 +53,6 @@ def test_ann_mode_cascade(ann_setup):
         "--num_probe", "4",
         "--num_candidates", "32",
         "--batch_size", "512",
-        "--rescore_pair_batch", "1024",
         "--fdr", "0.05",
         "--add_decoys",
     ]

@@ -92,3 +92,26 @@ def test_empty_file(tmp_path):
     path = tmp_path / "empty.mgf"
     path.write_text("")
     assert list(mgf_native.read_mgf_native(str(path))) == []
+
+
+def test_truncated_final_block_dropped(tmp_path):
+    """A file cut off mid-spectrum must drop the unterminated block (the
+    Python reader's behavior), not corrupt the columnar offsets."""
+    path = tmp_path / "trunc.mgf"
+    path.write_text(
+        "BEGIN IONS\n"
+        "TITLE=complete\n"
+        "PEPMASS=500.0\n"
+        "100.0 1.0\n"
+        "200.0 2.0\n"
+        "END IONS\n"
+        "BEGIN IONS\n"
+        "TITLE=cut off mid-peaks\n"
+        "PEPMASS=600.0\n"
+        "150.0 1.5\n"
+    )
+    native = list(mgf_native.read_mgf_native(str(path)))
+    python = list(read_mgf_python(str(path)))
+    assert len(native) == len(python) == 1
+    assert native[0].identifier == "complete"
+    np.testing.assert_array_equal(native[0].mz, [100.0, 200.0])

@@ -3,10 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from ann_solo_tpu.ops.rescore import (
-    pair_chunk_update,
-    rescore_candidate_matrix,
-)
+from ann_solo_tpu.ops.rescore import rescore_candidate_matrix
 from ann_solo_tpu.ops.shifted_dot import shifted_dot_scores
 
 
@@ -106,46 +103,3 @@ def test_rescore_matrix_conflicted_matches():
 def test_rescore_matrix_tiny_top_t_still_exact():
     # top_t=1 forces the certificate/escalation path to do the work.
     _check(conflict=True, seed=11, top_t=1)
-
-
-def test_pair_chunk_update_accumulates():
-    rng = np.random.default_rng(13)
-    b, n_lib = 8, 60
-    q_mz, q_int, _, q_prec = _spectra(rng, b)
-    l_mz, l_int, l_ann, l_prec = _spectra(rng, n_lib)
-    for i in range(b):
-        l_mz[i] = q_mz[i]
-        l_prec[i] = q_prec[i]
-    pair_q = np.repeat(np.arange(b, dtype=np.int32), n_lib)
-    pair_c = np.tile(np.arange(n_lib, dtype=np.int32), b)
-    best_score = jnp.full(b, -jnp.inf, jnp.float32)
-    best_idx = jnp.full(b, -1, jnp.int32)
-    chunk = 128
-    for start in range(0, len(pair_q), chunk):
-        pq = pair_q[start : start + chunk]
-        pc = pair_c[start : start + chunk]
-        n = len(pq)
-        if n < chunk:
-            pq = np.pad(pq, (0, chunk - n))
-            pc = np.pad(pc, (0, chunk - n))
-        best_score, best_idx = pair_chunk_update(
-            best_score, best_idx,
-            jnp.asarray(q_mz), jnp.asarray(q_int), jnp.asarray(q_prec),
-            jnp.asarray(l_mz), jnp.asarray(l_int), jnp.asarray(l_ann),
-            jnp.asarray(l_prec),
-            jnp.asarray(pq), jnp.asarray(pc), jnp.int32(n),
-            0.02, 1, False,
-        )
-    cand = np.tile(np.arange(n_lib, dtype=np.int32)[None], (b, 1))
-    exp_idx, exp_score = _reference_best(
-        (q_mz, q_int, None, q_prec),
-        (l_mz, l_int, l_ann, l_prec), cand, 0.02, 1, False,
-    )
-    np.testing.assert_allclose(
-        np.asarray(best_score), exp_score, rtol=1e-5
-    )
-    got = np.asarray(best_idx)
-    differs = got != exp_idx
-    assert not differs.any() or np.allclose(
-        np.asarray(best_score)[differs], exp_score[differs]
-    )

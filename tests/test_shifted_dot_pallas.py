@@ -50,6 +50,42 @@ def test_pallas_matches_xla(allow_shift):
     np.testing.assert_allclose(got, expected, rtol=2e-5, atol=1e-6)
 
 
+def test_pallas_unequal_peak_widths():
+    """Query and library max_peaks may differ (e.g. --max_peaks_used 24
+    vs --max_peaks_used_library 32); the dispatcher pads both sides to a
+    common width before the kernel (regression: round-2 review found the
+    padded widths could mismatch the kernel BlockSpecs)."""
+    rng = np.random.default_rng(37)
+    charge = 2
+    pairs = [_random_pair(rng, 24, charge) for _ in range(PAIR_BLOCK)]
+    kq, kc = 24, 32  # different widths
+    q_mz = _pad([p[0] for p in pairs], kq)
+    q_int = _pad([p[1] for p in pairs], kq)
+    c_mz = _pad([p[2] for p in pairs], kc)
+    c_int = _pad([p[3] for p in pairs], kc)
+    c_ann = _pad([p[4] for p in pairs], kc)
+    q_prec = np.asarray([p[5] for p in pairs], np.float32)
+    c_prec = np.asarray([p[6] for p in pairs], np.float32)
+    charges = np.full(len(pairs), charge, np.int32)
+    # Pad to a common width exactly like shifted_dot_best_match_auto.
+    kk = max(kq, kc)
+    qm = np.pad(q_mz, [(0, 0), (0, kk - kq)])
+    qi = np.pad(q_int, [(0, 0), (0, kk - kq)])
+    total, match = shifted_dot_pallas_full(
+        qm, qi, c_mz, c_int, c_ann, q_prec, c_prec, charges,
+        0.02, 1, False, interpret=True,
+    )
+    expected = np.asarray(
+        shifted_dot_scores(
+            qm, qi, c_mz, c_int, c_ann, q_prec, c_prec, charges,
+            np.ones(len(pairs), bool), 0.02, 1, False,
+        )
+    )
+    np.testing.assert_allclose(
+        np.asarray(total), expected, rtol=2e-5, atol=1e-6
+    )
+
+
 def test_pallas_in_kernel_match_extraction():
     """The kernel's (P, K) match output must encode the same peak-match
     set as the XLA greedy (SpectrumMatch.cpp full return contract)."""
