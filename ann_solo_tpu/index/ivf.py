@@ -139,30 +139,46 @@ def _pack_lists(
     float dtypes.
     """
     n, d = vectors.shape
+    total = num_list * cap
     ids_flat = (
-        jnp.full((num_list * cap,), -1, jnp.int32)
+        jnp.full((total,), -1, jnp.int32)
         .at[flat_slot]
         .set(jnp.arange(n, dtype=jnp.int32))
     )
-    safe = jnp.clip(ids_flat, 0, n - 1)
-    gathered = jnp.where(
-        (ids_flat >= 0)[:, None], vectors[safe], 0.0
-    )  # (L*cap, D) float32
-    if jnp.dtype(storage_dtype) == jnp.dtype("int8"):
-        scale = jnp.max(jnp.abs(gathered), axis=1) / 127.0  # (L*cap,)
-        q = jnp.round(
-            gathered / jnp.maximum(scale, 1e-30)[:, None]
-        ).astype(jnp.int8)
-        return (
-            ids_flat,
-            q.reshape(num_list, cap, d),
-            scale.astype(jnp.float32).reshape(num_list, cap),
+    is_int8 = jnp.dtype(storage_dtype) == jnp.dtype("int8")
+
+    def pack_chunk(ids_chunk):  # (C,) -> ((C, D) storage, (C,) scales)
+        safe = jnp.clip(ids_chunk, 0, n - 1)
+        gathered = jnp.where(
+            (ids_chunk >= 0)[:, None], vectors[safe], 0.0
         )
-    padded_vectors = gathered.astype(storage_dtype).reshape(
-        num_list, cap, d
-    )
-    return ids_flat, padded_vectors, jnp.ones(
-        (num_list, cap), jnp.float32
+        if is_int8:
+            gathered = gathered.astype(jnp.float32)
+            scale = jnp.max(jnp.abs(gathered), axis=1) / 127.0
+            q = jnp.round(
+                gathered / jnp.maximum(scale, 1e-30)[:, None]
+            ).astype(jnp.int8)
+            return q, scale.astype(jnp.float32)
+        return (
+            gathered.astype(storage_dtype),
+            jnp.ones(ids_chunk.shape, jnp.float32),
+        )
+
+    # Chunk the gather+quantize so the float32 transient never exceeds
+    # ~3 GB regardless of library size (multi-million-row builds).
+    chunk = min(total, 1 << 20)
+    n_chunks = -(-total // chunk)
+    total_pad = n_chunks * chunk
+    ids_padded = jnp.pad(
+        ids_flat, (0, total_pad - total), constant_values=-1
+    ).reshape(n_chunks, chunk)
+    packed, scales = jax.lax.map(pack_chunk, ids_padded)
+    packed = packed.reshape(total_pad, d)[:total]
+    scales = scales.reshape(total_pad)[:total]
+    return (
+        ids_flat,
+        packed.reshape(num_list, cap, d),
+        scales.reshape(num_list, cap),
     )
 
 
@@ -435,7 +451,9 @@ class IvfIndex:
         full -- rare) fall back to a host pass.
         """
         num_list = int(config.num_list)
-        vectors_d = jnp.asarray(vectors, jnp.float32)
+        # f32 or bf16 source (bf16 halves HBM during multi-million-row
+        # builds; all matmuls accumulate f32 either way).
+        vectors_d = jnp.asarray(vectors)
         n, d = vectors_d.shape
         cap = max(8, int(-(-_FILL_SLACK * n / num_list // 8) * 8))
         logger.info(

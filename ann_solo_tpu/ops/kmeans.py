@@ -28,33 +28,46 @@ def _kmeans_fit(
     init_centroids: jnp.ndarray,  # (L, D)
     n_iter: int,
 ):
+    """Blocked spherical k-means: nothing (N, L)-shaped is ever
+    materialized, so training scales to millions of rows -- the (B, L)
+    score block and the (L, D) partial sums are the only transients."""
     n_pad, d = vectors_padded.shape
     l = init_centroids.shape[0]
-    # Zero-padded rows contribute nothing: mask via the row norm.
-    weights = (
-        jnp.sum(vectors_padded * vectors_padded, axis=1) > 0
-    ).astype(jnp.float32)  # (N,)
+    blocks = vectors_padded.reshape(n_pad // _BLOCK, _BLOCK, d)
     cluster_iota = jnp.arange(l, dtype=jnp.int32)[None, :]
 
-    def assign(centroids):
+    def assign_block(vec_block, centroids):
         scores = jnp.dot(
-            vectors_padded, centroids.T,
-            preferred_element_type=jnp.float32,
-        )  # (N, L)
+            vec_block, centroids.T, preferred_element_type=jnp.float32
+        )  # (B, L)
         return jnp.argmax(scores, axis=1).astype(jnp.int32)
 
     def step(_, centroids):
-        ids = assign(centroids)
-        # Cluster sums/counts as one MXU matmul with the (masked) one-hot
-        # assignment matrix -- a segment-sum would scatter-serialize.
-        onehot = (
-            (ids[:, None] == cluster_iota).astype(jnp.float32)
-            * weights[:, None]
-        )  # (N, L)
-        sums = jnp.dot(
-            onehot.T, vectors_padded, preferred_element_type=jnp.float32
-        )  # (L, D)
-        counts = jnp.sum(onehot, axis=0)[:, None]  # (L, 1)
+        def body(carry, vec_block):
+            sums, counts = carry
+            ids = assign_block(vec_block, centroids)
+            # Zero-padded rows contribute nothing (row-norm mask).
+            w = (
+                jnp.sum(vec_block * vec_block, axis=1) > 0
+            ).astype(jnp.float32)
+            # Block sums/counts as one MXU matmul with the masked one-hot
+            # assignment matrix -- a segment-sum would scatter-serialize.
+            onehot = (
+                (ids[:, None] == cluster_iota).astype(jnp.float32)
+                * w[:, None]
+            )  # (B, L)
+            sums = sums + jnp.dot(
+                onehot.T, vec_block, preferred_element_type=jnp.float32
+            )
+            counts = counts + jnp.sum(onehot, axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((l, d), jnp.float32), jnp.zeros((l,), jnp.float32)),
+            blocks,
+        )
+        counts = counts[:, None]
         new_centroids = sums / jnp.maximum(counts, 1.0)
         # Keep the previous centroid for empty clusters.
         new_centroids = jnp.where(counts > 0, new_centroids, centroids)
@@ -62,7 +75,12 @@ def _kmeans_fit(
         return new_centroids / jnp.maximum(norms, 1e-30)
 
     centroids = jax.lax.fori_loop(0, n_iter, step, init_centroids)
-    return centroids, assign(centroids)
+
+    def final_assign(carry, vec_block):
+        return carry, assign_block(vec_block, centroids)
+
+    _, assignments = jax.lax.scan(final_assign, 0, blocks)
+    return centroids, assignments.reshape(-1)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -80,9 +98,9 @@ def assign_topk_blocked(
     """Top-`k_choices` nearest centroids per vector ((N, A) int32).
 
     Blocked MXU matmuls over the row axis; inputs may be device arrays
-    (results stay on device).
+    (f32 or bf16; results stay on device).
     """
-    vectors = jnp.asarray(vectors, jnp.float32)
+    vectors = jnp.asarray(vectors)
     n = vectors.shape[0]
     if n <= block:
         return _assign_topk_block(vectors, centroids, k_choices)
@@ -111,7 +129,7 @@ def spherical_kmeans(
     of at most `n_clusters * max_points_per_centroid` vectors (FAISS's
     subsampling rule) and only the returned assignments cover all rows.
     """
-    vectors = jnp.asarray(vectors, jnp.float32)
+    vectors = jnp.asarray(vectors)  # f32 or bf16; MXU accumulates f32
     n, d = vectors.shape
     cap = (
         n_clusters * max_points_per_centroid
@@ -137,11 +155,17 @@ def spherical_kmeans(
         init = init + jnp.asarray(
             rng.normal(0, 1e-4, init.shape), jnp.float32
         )
+    # Centroids always live in f32 (the fori_loop carry dtype must be
+    # stable even for bf16 source vectors).
+    init = init.astype(jnp.float32)
     init = init / jnp.maximum(
         jnp.linalg.norm(init, axis=1, keepdims=True), 1e-30
     )
 
     n_pad = max(_BLOCK, -(-n // _BLOCK) * _BLOCK)
-    padded = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(vectors)
+    if n_pad == n:
+        padded = vectors  # no copy for block-aligned inputs
+    else:
+        padded = jnp.zeros((n_pad, d), vectors.dtype).at[:n].set(vectors)
     centroids, assignments = _kmeans_fit(padded, init, n_iter)
     return centroids, assignments[:n]
