@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import logging
+import os
 import sys
 from typing import List, Optional, Union
 
@@ -70,14 +71,43 @@ def main(args: Optional[Union[str, List[str]]] = None) -> int:
     from ann_solo_tpu import search
     from ann_solo_tpu.io import mztab
 
-    spec_lib = search.SpectralLibrary(config.spectral_library_filename)
-    identifications = spec_lib.search(config.query_filename)
-    mztab.write_mztab(
-        identifications,
-        config.out_filename,
-        spec_lib._store.get_version(),
-        config,
+    # The query filename may be a glob: all matching files are searched
+    # by ONE engine instance (library store, indexes, and compiled
+    # device programs stay resident).  This is the production fan-out
+    # pattern -- the reference ran one process per raw file (4,207
+    # independent invocations for Kim2014, kim2014_stats.ipynb), paying
+    # library load + warmup every time.
+    import glob as _glob
+
+    query_files = (
+        sorted(_glob.glob(config.query_filename))
+        or [config.query_filename]
     )
+    spec_lib = search.SpectralLibrary(config.spectral_library_filename)
+    for query_filename in query_files:
+        if len(query_files) == 1:
+            out_filename = config.out_filename
+        elif os.path.isdir(config.out_filename):
+            base = os.path.splitext(os.path.basename(query_filename))[0]
+            out_filename = os.path.join(
+                config.out_filename, base + ".mztab"
+            )
+        elif "{}" in config.out_filename:
+            base = os.path.splitext(os.path.basename(query_filename))[0]
+            out_filename = config.out_filename.format(base)
+        else:
+            raise ValueError(
+                "Multiple query files matched; out_filename must be a "
+                "directory or contain a '{}' placeholder"
+            )
+        identifications = spec_lib.search(query_filename)
+        mztab.write_mztab(
+            identifications,
+            out_filename,
+            spec_lib._store.get_version(),
+            config,
+            query_filename=query_filename,
+        )
     spec_lib.shutdown()
     logging.getLogger().handlers[:] = [
         h for h in logging.getLogger().handlers

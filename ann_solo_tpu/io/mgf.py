@@ -7,12 +7,15 @@ sequence-to-ProForma conversion for library MGF files.
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Iterator, Optional
 
 import numpy as np
 
 from ann_solo_tpu.models.spectrum import Spectrum
+
+logger = logging.getLogger(__name__)
 
 
 def _leading_substitute_pattern(match: re.Match) -> str:
@@ -71,7 +74,25 @@ def read_mgf_python(filename: str) -> Iterator[Spectrum]:
                 params, mz, intensity = {}, [], []
             elif line == "END IONS":
                 index += 1
-                yield _build_spectrum(params, mz, intensity, index)
+                try:
+                    spectrum = _build_spectrum(params, mz, intensity,
+                                               index)
+                except (ValueError, IndexError) as e:
+                    # Malformed spectra are skipped with a warning, like
+                    # the reference query readers (reader.py:683-687).
+                    logger.warning(
+                        "Skipping malformed spectrum %s in %s: %s",
+                        params.get("title", index), filename, e,
+                    )
+                else:
+                    if spectrum.precursor_mz > 0:
+                        yield spectrum
+                    else:
+                        logger.warning(
+                            "Skipping spectrum %s without a valid "
+                            "precursor m/z in %s",
+                            params.get("title", index), filename,
+                        )
                 in_ions = False
             elif in_ions:
                 if "=" in line and not line[0].isdigit():

@@ -131,6 +131,14 @@ def read_mgf_native(filename: str) -> Iterator[Spectrum]:
 
     for i in range(n):
         identifier = titles[title_off[i] : title_off[i + 1]] or str(i + 1)
+        if not prec_mz[i] > 0:
+            # Same rule as the Python reader: malformed / missing
+            # PEPMASS spectra are skipped with a warning.
+            logger.warning(
+                "Skipping spectrum %s without a valid precursor m/z "
+                "in %s", identifier, filename,
+            )
+            continue
         lo, hi = peak_off[i], peak_off[i + 1]
         spectrum = Spectrum(
             identifier=identifier,

@@ -31,11 +31,18 @@ def natural_sort_key(
 
 
 def write_mztab(
-    identifications, filename: str, lib_version: str, config
+    identifications, filename: str, lib_version: str, config,
+    query_filename: str = None,
 ) -> str:
-    """Write SSMs to an mzTab file (reference writer.py:40-150)."""
+    """Write SSMs to an mzTab file (reference writer.py:40-150).
+
+    `query_filename` overrides the config value in the metadata block
+    (multi-file fan-out runs write one mzTab per query file).
+    """
     from ann_solo_tpu import __version__
 
+    if query_filename is None:
+        query_filename = config.query_filename
     if os.path.splitext(filename)[1].lower() != ".mztab":
         filename += ".mztab"
     logger.info("Save identifications to file %s", filename)
@@ -49,7 +56,7 @@ def write_mztab(
         (
             "description",
             f'Identification results of file '
-            f'"{os.path.split(config.query_filename)[1]}" against spectral '
+            f'"{os.path.split(query_filename)[1]}" against spectral '
             f'library file '
             f'"{os.path.split(config.spectral_library_filename)[1]}"',
         ),
@@ -65,7 +72,7 @@ def write_mztab(
         ("ms_run[1]-format", "[MS, MS:1001062, Mascot MGF file,]"),
         (
             "ms_run[1]-location",
-            pathlib.Path(os.path.abspath(config.query_filename)).as_uri(),
+            pathlib.Path(os.path.abspath(query_filename)).as_uri(),
         ),
         (
             "ms_run[1]-id_format",

@@ -94,6 +94,21 @@ def test_empty_file(tmp_path):
     assert list(mgf_native.read_mgf_native(str(path))) == []
 
 
+def test_malformed_spectra_skipped_with_warning(tmp_path):
+    """Bad PEPMASS values skip the spectrum (reference reader.py:683-687
+    behavior), identically in both readers."""
+    path = tmp_path / "bad.mgf"
+    path.write_text(
+        "BEGIN IONS\nTITLE=ok\nPEPMASS=500.0\n100.0 1.0\nEND IONS\n"
+        "BEGIN IONS\nTITLE=bad\nPEPMASS=oops\n100.0 1.0\nEND IONS\n"
+        "BEGIN IONS\nTITLE=missing\n100.0 1.0\nEND IONS\n"
+    )
+    native = list(mgf_native.read_mgf_native(str(path)))
+    python = list(read_mgf_python(str(path)))
+    assert [s.identifier for s in native] == ["ok"]
+    assert [s.identifier for s in python] == ["ok"]
+
+
 def test_truncated_final_block_dropped(tmp_path):
     """A file cut off mid-spectrum must drop the unterminated block (the
     Python reader's behavior), not corrupt the columnar offsets."""
