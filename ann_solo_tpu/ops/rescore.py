@@ -242,13 +242,24 @@ def rescore_candidate_matrix(
     part = np.argpartition(-ub[sel], t - 1, axis=1)[:, :t]
     ub_sel = np.take_along_axis(ub[sel], part, axis=1)  # (S, T)
     ids_sel = np.take_along_axis(cand_np[sel], part, axis=1)
-    pair_q = np.repeat(sel, t).astype(np.int32)
-    pair_c = ids_sel.reshape(-1)
-    exact_scores = _greedy_pairs_chunked(
-        q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
-        pair_q, pair_c,
-        fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
-    ).reshape(len(sel), t)
+    exact_sel = np.take_along_axis(exact[sel], part, axis=1)
+    # Pairs flagged exact need no greedy -- their bound IS the greedy
+    # score; only the conflicted pairs hit the kernel (typically a
+    # minority even among the selected top-T).
+    exact_scores = np.where(
+        np.isneginf(ub_sel), -np.inf, ub_sel
+    ).astype(np.float32)
+    need_pair = ~exact_sel & ~np.isneginf(ub_sel)
+    if need_pair.any():
+        flat_rows = np.repeat(sel, t).reshape(len(sel), t)
+        pair_q = flat_rows[need_pair].astype(np.int32)
+        pair_c = ids_sel[need_pair]
+        greedy = _greedy_pairs_chunked(
+            q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
+            pair_q, pair_c,
+            fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
+        )
+        exact_scores[need_pair] = greedy
     best_t = np.argmax(exact_scores, axis=1)
     s_rows = np.arange(len(sel))
     best_idx[sel] = ids_sel[s_rows, best_t]
