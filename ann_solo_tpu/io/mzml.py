@@ -78,13 +78,17 @@ def _parse_mzml_spectrum(element) -> Optional[Spectrum]:
         return None
     spectrum_id = element.get("id", "")
     if "scan=" in spectrum_id:
-        scan_nr = int(spectrum_id[spectrum_id.find("scan=") + 5 :].split()[0])
+        scan_nr = spectrum_id[spectrum_id.find("scan=") + 5 :].split()[0]
     elif "index=" in spectrum_id:
-        scan_nr = int(
-            spectrum_id[spectrum_id.find("index=") + 6 :].split()[0]
-        )
+        scan_nr = spectrum_id[spectrum_id.find("index=") + 6 :].split()[0]
     else:
         raise ValueError("Failed to parse scan/index number")
+    # mzML scan numbers are usually numeric, but our own writer (and some
+    # converters) emit arbitrary identifier strings -- keep them as-is.
+    try:
+        scan_nr = int(scan_nr)
+    except ValueError:
+        pass
     index = int(element.get("index", -1))
 
     mz_array = intensity_array = None
