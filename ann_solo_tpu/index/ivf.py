@@ -630,7 +630,8 @@ class IvfIndex:
         set equals their own top-num_probe lists.
         """
         ids, _ = self.search_with_scores(
-            queries, k, num_probe, q_prec, charge, tol_val, tol_mode
+            queries, k, num_probe, q_prec, charge, tol_val, tol_mode,
+            return_scores=False,
         )
         return ids
 
@@ -643,12 +644,14 @@ class IvfIndex:
         charge: float = 1.0,
         tol_val: float = 0.0,
         tol_mode: str = "Da",
+        return_scores: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Like `search` but also returns the inner-product scores.
 
         `queries` may be a device array: the sticky-degenerate fast path
         then runs without any host round-trip of the query vectors
-        (tunneled TPUs pay ~10-20ms per avoidable MB each way).
+        (tunneled TPUs pay ~10-20ms per avoidable MB each way).  With
+        `return_scores=False` the (B, k) score download is skipped too.
         """
         num_probe = int(num_probe or self.num_probe)
         b = len(queries)
@@ -677,7 +680,10 @@ class IvfIndex:
                 jnp.asarray(q_prec, jnp.float32),
                 charge_d, num_probe, k, tol_val, tol_mode,
             )
-            return np.asarray(ids), np.asarray(scores)
+            return (
+                np.asarray(ids),
+                np.asarray(scores) if return_scores else None,
+            )
 
         queries = np.asarray(queries, np.float32)
         q_prec = np.asarray(q_prec, np.float32)

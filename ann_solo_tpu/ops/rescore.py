@@ -213,10 +213,13 @@ def rescore_candidate_matrix(
         # ~16k pairs per stage-1 step: large enough to keep the VPU
         # busy, small enough to bound the (P, K, K) intermediate.
         c_chunk = max(8, min(c, 16384 // max(b, 1)))
-    cand_np = np.asarray(cand_ids, np.int32)
+    # One upload / one download of the candidate matrix, whichever side
+    # it arrives on.
+    cand_dev = jnp.asarray(cand_ids, jnp.int32)
+    cand_np = np.asarray(cand_dev)
     ub, exact = _stage1_bounds(
         q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
-        jnp.asarray(cand_np), fragment_mz_tolerance, num_shifts,
+        cand_dev, fragment_mz_tolerance, num_shifts,
         allow_shift, min(c_chunk, c),
     )
     # Stage 2 runs on the host over fixed-size device chunks only --
