@@ -79,36 +79,50 @@ def main(args: Optional[Union[str, List[str]]] = None) -> int:
     # library load + warmup every time.
     import glob as _glob
 
+    is_glob = _glob.has_magic(config.query_filename)
     query_files = (
         sorted(_glob.glob(config.query_filename))
         or [config.query_filename]
     )
-    spec_lib = search.SpectralLibrary(config.spectral_library_filename)
-    for query_filename in query_files:
-        if len(query_files) == 1:
-            out_filename = config.out_filename
-        elif os.path.isdir(config.out_filename):
-            base = os.path.splitext(os.path.basename(query_filename))[0]
-            out_filename = os.path.join(
-                config.out_filename, base + ".mztab"
-            )
-        elif "{}" in config.out_filename:
-            base = os.path.splitext(os.path.basename(query_filename))[0]
-            out_filename = config.out_filename.format(base)
-        else:
-            raise ValueError(
-                "Multiple query files matched; out_filename must be a "
-                "directory or contain a '{}' placeholder"
-            )
-        identifications = spec_lib.search(query_filename)
-        mztab.write_mztab(
-            identifications,
-            out_filename,
-            spec_lib._store.get_version(),
-            config,
-            query_filename=query_filename,
+
+    def out_for(query_filename: str) -> str:
+        # Per-file naming applies whenever the query side was a glob (or
+        # the output is a directory/template) -- even a glob matching
+        # one file must land inside the requested directory.
+        base = os.path.splitext(os.path.basename(query_filename))[0]
+        if os.path.isdir(config.out_filename):
+            return os.path.join(config.out_filename, base + ".mztab")
+        if "{}" in config.out_filename:
+            return config.out_filename.format(base)
+        if len(query_files) == 1 and not is_glob:
+            return config.out_filename
+        raise ValueError(
+            "Multiple query files matched; out_filename must be a "
+            "directory or contain a '{}' placeholder"
         )
-    spec_lib.shutdown()
+
+    # Validate the naming scheme BEFORE the (expensive) engine build.
+    out_names = [out_for(f) for f in query_files]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(
+            "Query files map to colliding output names (same basename "
+            "in different directories?): use a '{}' template with "
+            "distinct names"
+        )
+
+    spec_lib = search.SpectralLibrary(config.spectral_library_filename)
+    try:
+        for query_filename, out_filename in zip(query_files, out_names):
+            identifications = spec_lib.search(query_filename)
+            mztab.write_mztab(
+                identifications,
+                out_filename,
+                spec_lib._store.get_version(),
+                config,
+                query_filename=query_filename,
+            )
+    finally:
+        spec_lib.shutdown()
     logging.getLogger().handlers[:] = [
         h for h in logging.getLogger().handlers
         if not getattr(h, "_ann_solo_tpu", False)

@@ -101,8 +101,14 @@ def read_mgf_python(filename: str) -> Iterator[Spectrum]:
                 else:
                     fields = line.split()
                     if len(fields) >= 2:
-                        mz.append(float(fields[0]))
-                        intensity.append(float(fields[1]))
+                        try:
+                            peak_mz = float(fields[0])
+                            peak_int = float(fields[1])
+                        except ValueError:
+                            continue  # non-numeric line: skip (native
+                            # parser behavior)
+                        mz.append(peak_mz)
+                        intensity.append(peak_int)
 
 
 def _build_spectrum(params, mz, intensity, index: int) -> Spectrum:
@@ -114,9 +120,15 @@ def _build_spectrum(params, mz, intensity, index: int) -> Spectrum:
     )
     precursor_charge: Optional[int] = None
     if "charge" in params:
-        charge_str = params["charge"].split()[0].rstrip("+")
-        sign = -1 if charge_str.endswith("-") else 1
-        precursor_charge = sign * int(charge_str.rstrip("-"))
+        try:
+            charge_str = params["charge"].split()[0].rstrip("+")
+            sign = -1 if charge_str.endswith("-") else 1
+            precursor_charge = sign * int(charge_str.rstrip("-"))
+        except (ValueError, IndexError):
+            # Unparsable charge keeps the spectrum with charge unknown
+            # (the engine then duplicates it for charges 2/3), matching
+            # the native parser.
+            precursor_charge = None
     spectrum = Spectrum(
         identifier=identifier,
         precursor_mz=precursor_mz,

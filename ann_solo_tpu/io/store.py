@@ -56,7 +56,13 @@ def hyperparameter_hash(config) -> str:
     # part of this hash -- changing them must not invalidate the (far
     # more expensive) spectral-library store; they key the per-charge
     # index filename instead (index.ivf.ivf_index_filename).
-    payload = json.dumps({k: config[k] for k in keys}).encode("utf-8")
+    values = {k: config[k] for k in keys}
+    # Bump whenever preprocessing SEMANTICS change (not just settings),
+    # so stores built by older code rebuild instead of silently mixing
+    # preprocessing versions between library and queries.  Rev 2:
+    # reduced-charge precursor removal bound raised to 16.
+    values["_preprocess_rev"] = 2
+    payload = json.dumps(values).encode("utf-8")
     return hashlib.sha1(payload).hexdigest()
 
 

@@ -213,10 +213,14 @@ def rescore_candidate_matrix(
         # ~16k pairs per stage-1 step: large enough to keep the VPU
         # busy, small enough to bound the (P, K, K) intermediate.
         c_chunk = max(8, min(c, 16384 // max(b, 1)))
-    # One upload / one download of the candidate matrix, whichever side
-    # it arrives on.
-    cand_dev = jnp.asarray(cand_ids, jnp.int32)
-    cand_np = np.asarray(cand_dev)
+    # One transfer of the candidate matrix at most, whichever side it
+    # arrives on (stage 1 needs it on device, stage 2 on the host).
+    if isinstance(cand_ids, np.ndarray):
+        cand_np = cand_ids.astype(np.int32, copy=False)
+        cand_dev = jnp.asarray(cand_np)
+    else:
+        cand_dev = jnp.asarray(cand_ids, jnp.int32)
+        cand_np = np.asarray(cand_dev)
     ub, exact = _stage1_bounds(
         q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
         cand_dev, fragment_mz_tolerance, num_shifts,

@@ -81,16 +81,24 @@ void handle_param(Parsed& out, const char* key, size_t key_len,
   } else if (iequals(key, key_len, "rtinseconds")) {
     out.retention_time.back() = std::strtod(value, nullptr);
   } else if (iequals(key, key_len, "charge")) {
-    // "2+", "3-", "2", possibly a list -- first token only.
+    // "2+", "3-", "2", possibly a list -- first token only.  Anything
+    // else ("two", "2x") leaves the charge unknown, like the Python
+    // reader.
     const char* p = value;
     char* end = nullptr;
     long charge = std::strtol(p, &end, 10);
     if (end != p) {
-      // Sign may trail the digits ("2-").
-      if (end < value + value_len && *end == '-' && charge > 0) {
-        charge = -charge;
+      // Sign may trail the digits ("2-"/"2+").
+      if (end < value + value_len && (*end == '-' || *end == '+')) {
+        if (*end == '-' && charge > 0) charge = -charge;
+        ++end;
       }
-      out.precursor_charge.back() = static_cast<int32_t>(charge);
+      bool token_done =
+          end == value + value_len ||
+          std::isspace(static_cast<unsigned char>(*end));
+      if (token_done) {
+        out.precursor_charge.back() = static_cast<int32_t>(charge);
+      }
     }
   } else if (iequals(key, key_len, "decoy")) {
     out.is_decoy.back() = 1;
@@ -122,6 +130,18 @@ Parsed* parse(const char* data, size_t size) {
     pos = eol + 1;
     if (len == 0) continue;
     if (len == 10 && std::memcmp(line, "BEGIN IONS", 10) == 0) {
+      if (in_ions) {
+        // Repeated BEGIN IONS without END IONS: discard the dangling
+        // block (the Python reader resets its state the same way) --
+        // the metadata arrays must stay in lockstep with the offsets.
+        out->precursor_mz.pop_back();
+        out->precursor_charge.pop_back();
+        out->retention_time.pop_back();
+        out->is_decoy.pop_back();
+        out->mz.resize(static_cast<size_t>(out->peak_offsets.back()));
+        out->intensity.resize(
+            static_cast<size_t>(out->peak_offsets.back()));
+      }
       in_ions = true;
       title.clear();
       scan.clear();

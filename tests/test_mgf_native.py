@@ -109,6 +109,56 @@ def test_malformed_spectra_skipped_with_warning(tmp_path):
     assert [s.identifier for s in python] == ["ok"]
 
 
+def test_reader_parity_on_garbage_lines(tmp_path):
+    """Bad peak lines and unparsable CHARGE values must behave the same
+    in both readers: line skipped / charge left unknown, spectrum kept."""
+    path = tmp_path / "garbage.mgf"
+    path.write_text(
+        "BEGIN IONS\n"
+        "TITLE=messy\n"
+        "PEPMASS=500.0\n"
+        "CHARGE=two\n"
+        "100.0 1.0\n"
+        "123abc 456\n"   # digit-leading garbage line
+        "1,5 100\n"      # wrong decimal separator
+        "200.0 2.0\n"
+        "END IONS\n"
+        "BEGIN IONS\n"
+        "TITLE=suffixed charge\n"
+        "PEPMASS=600.0\n"
+        "CHARGE=2x\n"
+        "150.0 1.5\n"
+        "END IONS\n"
+    )
+    _compare(str(path))
+    native = list(mgf_native.read_mgf_native(str(path)))
+    assert native[0].precursor_charge is None
+    np.testing.assert_array_equal(native[0].mz, [100.0, 200.0])
+    assert native[1].precursor_charge is None
+
+
+def test_nested_begin_ions_discards_dangling_block(tmp_path):
+    """A repeated BEGIN IONS without END IONS drops the partial block in
+    both readers without desynchronizing the native columnar arrays."""
+    path = tmp_path / "nested.mgf"
+    path.write_text(
+        "BEGIN IONS\n"
+        "TITLE=dangling\n"
+        "PEPMASS=500.0\n"
+        "100.0 1.0\n"
+        "BEGIN IONS\n"          # no END IONS for the previous block
+        "TITLE=complete\n"
+        "PEPMASS=600.0\n"
+        "200.0 2.0\n"
+        "END IONS\n"
+    )
+    _compare(str(path))
+    native = list(mgf_native.read_mgf_native(str(path)))
+    assert [s.identifier for s in native] == ["complete"]
+    assert native[0].precursor_mz == pytest.approx(600.0)
+    np.testing.assert_array_equal(native[0].mz, [200.0])
+
+
 def test_truncated_final_block_dropped(tmp_path):
     """A file cut off mid-spectrum must drop the unterminated block (the
     Python reader's behavior), not corrupt the columnar offsets."""

@@ -74,6 +74,40 @@ def test_glob_with_bad_out_template_errors(setup):
                    str(tmp / "single.mztab")))
 
 
+def test_single_match_glob_still_uses_directory(setup):
+    """A glob matching ONE file must still write into the requested
+    output directory, not a sibling '<dir>.mztab' file."""
+    from ann_solo_tpu.cli import main
+
+    tmp, lib_path, _ = setup
+    out_dir = tmp / "single_glob"
+    out_dir.mkdir()
+    assert main(_args(lib_path, str(tmp / "run0*.mgf"),
+                      str(out_dir))) == 0
+    assert (out_dir / "run0.mztab").exists()
+    assert not (tmp / "single_glob.mztab").exists()
+
+
+def test_colliding_basenames_rejected(setup, tmp_path):
+    """Two matched query files with the same basename would overwrite
+    each other's mzTab; the CLI must reject the mapping up front."""
+    import shutil
+
+    from ann_solo_tpu.cli import main
+
+    tmp, lib_path, _ = setup
+    out_dir = tmp_path / "outs"
+    out_dir.mkdir()
+    both = tmp_path / "both"
+    (both / "x").mkdir(parents=True)
+    (both / "y").mkdir()
+    shutil.copy(str(tmp / "run0.mgf"), str(both / "x" / "run0.mgf"))
+    shutil.copy(str(tmp / "run0.mgf"), str(both / "y" / "run0.mgf"))
+    with pytest.raises(ValueError, match="colliding"):
+        main(_args(lib_path, str(both / "*" / "run0.mgf"),
+                   str(out_dir)))
+
+
 def test_out_template_placeholder(setup):
     from ann_solo_tpu.cli import main
 
