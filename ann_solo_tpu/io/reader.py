@@ -43,9 +43,14 @@ def read_library_file(filename: str, config) -> Iterator[Spectrum]:
 
             yield from read_splib(filename)
     elif ext == ".sptxt":
-        from ann_solo_tpu.io.splib import read_sptxt
+        from ann_solo_tpu.io import sptxt_native
 
-        yield from read_sptxt(filename)
+        if sptxt_native.available():
+            yield from sptxt_native.read_sptxt_native(filename)
+        else:
+            from ann_solo_tpu.io.splib import read_sptxt
+
+            yield from read_sptxt(filename)
     elif ext == ".mgf":
         from ann_solo_tpu.io.mgf import read_mgf
 

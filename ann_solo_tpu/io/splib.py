@@ -207,6 +207,69 @@ def write_splib(spectra, filename: str) -> None:
             f_out.write(b"Comment:" + remark)
 
 
+def write_sptxt(spectra, filename: str) -> None:
+    """Write spectra as a SpectraST .sptxt text library.
+
+    Inverse of `read_sptxt` (round-trip tested): ProForma bracket
+    modifications become a Comment Mods= list, annotations become
+    ion/index/charge peak labels, decoys a DECOY remark.
+    """
+    from ann_solo_tpu.models.spectrum import ION_TYPE_NAMES
+
+    with open(filename, "w") as f_out:
+        for spectrum in spectra:
+            peptide = spectrum.peptide or ""
+            plain, mods = [], []
+            pos = -1
+            i = 0
+            while i < len(peptide):
+                if peptide[i] == "[":
+                    end = peptide.index("]", i)
+                    mods.append(
+                        f"{pos},{plain[-1] if plain else '-'},"
+                        f"{peptide[i + 1:end]}"
+                    )
+                    i = end + 1
+                else:
+                    plain.append(peptide[i])
+                    pos += 1
+                    i += 1
+            seq = "".join(plain)
+            mods_str = (
+                f"{len(mods)}/" + "/".join(mods) if mods else "0"
+            )
+            charge = spectrum.precursor_charge or 0
+            f_out.write(f"Name: {seq}/{charge}\n")
+            f_out.write(f"LibID: {spectrum.identifier}\n")
+            f_out.write(f"PrecursorMZ: {spectrum.precursor_mz:.4f}\n")
+            remark = " Remark=DECOY_" if spectrum.is_decoy else ""
+            f_out.write(
+                f"Comment: Spec=Consensus Mods={mods_str}{remark}\n"
+            )
+            f_out.write(f"NumPeaks: {spectrum.n_peaks}\n")
+            for j in range(spectrum.n_peaks):
+                if (
+                    spectrum.ann_type is not None
+                    and spectrum.ann_charge is not None
+                    and spectrum.ann_charge[j] > 0
+                    and int(spectrum.ann_type[j]) in ION_TYPE_NAMES
+                ):
+                    ion = ION_TYPE_NAMES[int(spectrum.ann_type[j])]
+                    idx = int(spectrum.ann_index[j])
+                    chg = int(spectrum.ann_charge[j])
+                    ann = (
+                        f"{ion}{idx}/0.002" if chg == 1
+                        else f"{ion}{idx}^{chg}/0.002"
+                    )
+                else:
+                    ann = "?"
+                f_out.write(
+                    f"{spectrum.mz[j]:.4f}\t{spectrum.intensity[j]:.4f}"
+                    f"\t{ann}\n"
+                )
+            f_out.write("\n")
+
+
 _SPTXT_NAME = re.compile(
     rb"(?<![a-zA-Z])Name:\s?(?:(?!((?<![a-zA-Z])Name:\s?)).|\n)*",
     re.IGNORECASE,
