@@ -216,18 +216,21 @@ def main():
     elapsed = time.perf_counter() - t0
     qps = n_done / elapsed
 
-    # Stage breakdown (synchronized per stage, warm programs).
+    # Stage breakdown (synchronized per stage, warm programs).  NOTE:
+    # jax.block_until_ready is a no-op on this tunneled backend -- only
+    # host materialization (np.asarray) actually waits, so each stage
+    # boundary forces a (tiny, for vectorize) download.
     q_mz, q_int, q_ann, q_n, q_prec = batches[1]
     t0 = time.perf_counter()
     q_vec = stage_vectorize(q_mz, q_int, q_n)
-    q_vec.block_until_ready()
+    np.asarray(q_vec[:1])  # force completion
     t_s1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    cand_ids = stage_select(q_vec, q_prec)
+    cand_ids = stage_select(q_vec, q_prec)  # returns a host array
     t_s2 = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = stage_rescore(q_mz, q_int, q_prec, cand_ids)
-    jax.block_until_ready(out)
+    np.asarray(out[0])  # rescore returns host arrays already; cheap
     t_s3 = time.perf_counter() - t0
     log(
         f"stage seconds/batch(B={N_QUERIES}): vectorize={t_s1:.3f} "
