@@ -76,7 +76,7 @@ def main(args=None) -> int:
         cfg.num_probe = max(parsed.num_probe)
         t0 = time.perf_counter()
         index = IvfIndex.build(vectors_d, cfg, precursor_mz=prec)
-        jax.block_until_ready(index.padded_vectors)
+        np.asarray(index.padded_vectors[-1, -1:])  # real sync (block_until_ready is a no-op on tunneled backends)
         t_build = time.perf_counter() - t0
         for num_probe in parsed.num_probe:
             if num_probe > num_list:

@@ -61,7 +61,7 @@ def main():
 
     t0 = time.perf_counter()
     vectors_d = jnp.asarray(vectors, jnp.bfloat16)  # halve HBM footprint
-    vectors_d.block_until_ready()
+    np.asarray(vectors_d[:1, :1])  # real sync
     t_upload = time.perf_counter() - t0
     log(
         f"upload {vectors_d.nbytes / 1e9:.1f} GB bf16: {t_upload:.1f}s"
@@ -71,7 +71,7 @@ def main():
     index = IvfIndex.build(
         vectors_d, Cfg(), precursor_mz=prec, storage_dtype=np.int8
     )
-    jax.block_until_ready(index.padded_vectors)
+    np.asarray(index.padded_vectors[-1, -1:])  # real sync (block_until_ready is a no-op on tunneled backends)
     t_build = time.perf_counter() - t0
     log(
         f"int8 IVF build ({args.num_list} lists): {t_build:.1f}s "
