@@ -31,8 +31,8 @@ import numpy as np
 REFERENCE_QPS = 105.0  # GPU-FAISS reference throughput (see module docstring)
 
 N_LIBRARY = 131072
-N_QUERIES = 1024
-N_BATCHES = 8
+N_QUERIES = 4096
+N_BATCHES = 4
 K_PEAKS = 50
 HASH_LEN = 800
 NUM_LIST = 2048
