@@ -13,7 +13,6 @@ import ctypes
 import logging
 import math
 import os
-import subprocess
 from typing import Iterator, Optional
 
 import numpy as np
@@ -36,30 +35,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    src = os.path.join(_NATIVE_DIR, "mgf_parser.cpp")
-    stale = os.path.isfile(_LIB_PATH) and os.path.isfile(src) and (
-        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
-    )
-    if not os.path.isfile(_LIB_PATH) or stale:
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-B", "libmgf_parser.so"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except (
-            subprocess.CalledProcessError,
-            subprocess.TimeoutExpired,
-            FileNotFoundError,
-        ) as e:
-            logger.warning(
-                "Native MGF parser build failed (%s); using the Python "
-                "reader", e,
-            )
-            _build_failed = True
-            return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    from ann_solo_tpu.io._native_build import build_and_load
+
+    lib = build_and_load("libmgf_parser.so", "mgf_parser.cpp")
+    if lib is None:
+        logger.warning("Native MGF parser unavailable; using the Python "
+                       "reader")
+        _build_failed = True
+        return None
     lib.mgf_parse.restype = ctypes.c_void_p
     lib.mgf_parse.argtypes = [ctypes.c_char_p]
     for name in ("mgf_num_spectra", "mgf_num_peaks",

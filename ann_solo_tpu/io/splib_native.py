@@ -11,7 +11,6 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
 from typing import Iterator, Optional
 
 import numpy as np
@@ -34,30 +33,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    src = os.path.join(_NATIVE_DIR, "splib_parser.cpp")
-    stale = os.path.isfile(_LIB_PATH) and os.path.isfile(src) and (
-        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
-    )
-    if not os.path.isfile(_LIB_PATH) or stale:
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-B", "libsplib_parser.so"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except (
-            subprocess.CalledProcessError,
-            subprocess.TimeoutExpired,
-            FileNotFoundError,
-        ) as e:
-            logger.warning(
-                "Native splib parser build failed (%s); using the Python "
-                "parser", e,
-            )
-            _build_failed = True
-            return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    from ann_solo_tpu.io._native_build import build_and_load
+
+    lib = build_and_load("libsplib_parser.so", "splib_parser.cpp")
+    if lib is None:
+        logger.warning("Native splib parser unavailable; using the Python "
+                       "parser")
+        _build_failed = True
+        return None
     lib.splib_parse.restype = ctypes.c_void_p
     lib.splib_parse.argtypes = [ctypes.c_char_p]
     for name in ("splib_num_spectra", "splib_num_peaks",

@@ -14,7 +14,6 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
 from typing import Iterator, Optional
 
 import numpy as np
@@ -37,30 +36,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    src = os.path.join(_NATIVE_DIR, "sptxt_parser.cpp")
-    stale = os.path.isfile(_LIB_PATH) and os.path.isfile(src) and (
-        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
-    )
-    if not os.path.isfile(_LIB_PATH) or stale:
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-B", "libsptxt_parser.so"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except (
-            subprocess.CalledProcessError,
-            subprocess.TimeoutExpired,
-            FileNotFoundError,
-        ) as e:
-            logger.warning(
-                "Native sptxt parser build failed (%s); using the Python "
-                "parser", e,
-            )
-            _build_failed = True
-            return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    from ann_solo_tpu.io._native_build import build_and_load
+
+    lib = build_and_load("libsptxt_parser.so", "sptxt_parser.cpp")
+    if lib is None:
+        logger.warning("Native sptxt parser unavailable; using the Python "
+                       "parser")
+        _build_failed = True
+        return None
     lib.sptxt_parse.restype = ctypes.c_void_p
     lib.sptxt_parse.argtypes = [ctypes.c_char_p]
     for name in ("sptxt_num_spectra", "sptxt_num_peaks",

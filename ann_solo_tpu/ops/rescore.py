@@ -15,8 +15,10 @@ shapes recompile per batch, which dominates wall time on tunneled TPU
 backends.
 
 Reference semantics: `spectral_library.py:328-455` batch search +
-`SpectrumMatch.cpp` best-candidate selection (first-best wins on exact
-ties; here the lowest candidate row id wins, deterministic either way).
+`SpectrumMatch.cpp` best-candidate selection.  On exact score ties the
+first candidate in candidate-matrix order (ANN rank order) wins --
+deterministic, and compatible with the reference, whose tie order is
+unspecified.
 """
 
 from __future__ import annotations

@@ -69,12 +69,16 @@ def windowed_score_lanes(
     )  # (P, S)
 
     # Window starts: first candidate with c_mz >= q_mz - offset - tol.
+    # Zero-padded tail lanes (pad m/z 0.0 < any real m/z) would violate
+    # searchsorted's sorted precondition; +inf keeps rows sorted and
+    # pushes padding past every window.
+    c_sorted = jnp.where(c_int > 0, c_mz, jnp.inf)
     targets = (
         q_mz[:, None, :] - offsets[:, :, None] - tol
     )  # (P, S, K)
     starts = jax.vmap(
         lambda row, t: jnp.searchsorted(row, t.reshape(-1))
-    )(c_mz, targets).reshape(p, s_count, k).astype(jnp.int32)
+    )(c_sorted, targets).reshape(p, s_count, k).astype(jnp.int32)
 
     # Gather w candidates per window.
     idx = starts[..., None] + jnp.arange(w, dtype=jnp.int32)  # (P,S,K,w)
@@ -108,7 +112,7 @@ def windowed_score_lanes(
     # Overflow: the peak just past the window is still in tolerance.
     next_idx = jnp.clip(starts + w, 0, k - 1)
     next_mz = jnp.take_along_axis(
-        c_mz, next_idx.reshape(p, -1), axis=1
+        c_sorted, next_idx.reshape(p, -1), axis=1
     ).reshape(next_idx.shape)
     next_diff = q_mz[:, None, :] - (next_mz + offsets[:, :, None])
     overflow = jnp.any(

@@ -29,6 +29,8 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#include "mmap_guard.h"
+
 namespace {
 
 struct Parsed {
@@ -216,14 +218,14 @@ void* mgf_parse(const char* filename) {
                                  {}, {}})
                            : nullptr;
   }
-  void* map =
-      ::mmap(nullptr, static_cast<size_t>(st.st_size), PROT_READ,
-             MAP_PRIVATE, fd, 0);
+  // Guard-page mapping: strtod/strtol scan the raw buffer, so the byte
+  // after the last file byte must be readable (and is zero).
+  mmap_guard::Mapping map =
+      mmap_guard::map_readonly(fd, static_cast<size_t>(st.st_size));
   ::close(fd);
-  if (map == MAP_FAILED) return nullptr;
-  Parsed* out =
-      parse(static_cast<const char*>(map), static_cast<size_t>(st.st_size));
-  ::munmap(map, static_cast<size_t>(st.st_size));
+  if (!map.ok()) return nullptr;
+  Parsed* out = parse(map.data, map.file_size);
+  mmap_guard::unmap(map);
   return out;
 }
 

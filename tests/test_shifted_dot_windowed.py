@@ -78,3 +78,37 @@ def test_windowed_overflow_flags_dense_windows():
         np.full(4, 2, np.int32), 0.5, 1, False,
     )
     assert np.asarray(overflow).all()
+
+
+def test_windowed_padded_tail_lanes():
+    """Zero-padded tail lanes must not misplace windows near the top of
+    the m/z range (regression: pad value 0.0 < real m/z broke the
+    searchsorted sorted precondition without setting overflow)."""
+    rng = np.random.default_rng(11)
+    q_mz, q_int, c_mz, c_int, c_ann, q_prec, c_prec, charges = _batch(
+        rng, 64, 2, [0.0], k=30
+    )
+    # Re-pad candidates to twice the width: half of every row is 0.0 m/z
+    # padding, and matches to the LAST real peaks must still be found.
+    kp = c_mz.shape[1] * 2
+    pad = kp - c_mz.shape[1]
+    c_mz = np.pad(c_mz, ((0, 0), (0, pad)))
+    c_int = np.pad(c_int, ((0, 0), (0, pad)))
+    c_ann = np.pad(c_ann, ((0, 0), (0, pad)), constant_values=-1)
+    q_mz = np.pad(q_mz, ((0, 0), (0, pad)))
+    q_int = np.pad(q_int, ((0, 0), (0, pad)))
+    tol = 0.02
+    dense = np.asarray(
+        shifted_dot_scores(
+            q_mz, q_int, c_mz, c_int, c_ann, q_prec, c_prec, charges,
+            np.ones(len(charges), bool), tol, 3, False,
+        )
+    )
+    total, overflow = windowed_greedy_scores(
+        q_mz, q_int, c_mz, c_int, c_ann, q_prec, c_prec, charges,
+        tol, 3, False,
+    )
+    total, overflow = np.asarray(total), np.asarray(overflow)
+    ok = ~overflow
+    assert ok.mean() > 0.9
+    np.testing.assert_allclose(total[ok], dense[ok], rtol=2e-5, atol=1e-6)
