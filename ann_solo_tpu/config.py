@@ -102,7 +102,20 @@ def _add_arguments(parser: argparse.ArgumentParser) -> None:
         default=0,
         type=int,
         help="number of devices to shard the library over "
-        "(0 = use all available JAX devices)",
+        "(0 = use all available JAX devices).  Devices left over "
+        "become data-parallel query replicas: --num_shards 4 on an "
+        "8-chip host runs a (dp=2, lib=4) mesh; --num_shards 1 runs "
+        "pure query data parallelism",
+    )
+    parser.add_argument(
+        "--ivf_redundancy",
+        default=2,
+        type=int,
+        help="store each library vector in its R nearest lists "
+        "(ScaNN/SOAR-style redundant assignment). R=2 (default) "
+        "roughly halves coarse-quantizer misses for open-search "
+        "queries whose vectors diverge from their library spectrum; "
+        "R=1 matches FAISS single-assignment memory",
     )
     parser.add_argument(
         "--index_dtype",

@@ -56,16 +56,25 @@ _N_CHOICES = 4  # spill candidates per vector (nearest centroids)
 _TRAIN_POINTS_PER_CENTROID = 256  # FAISS subsampling rule
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def ivf_index_filename(
     library_filename: str, config_hash: str, charge: int,
-    index_dtype: str = "bf16",
+    index_dtype: str = "bf16", redundancy: int = 2,
 ) -> str:
     """Per-charge index path (reference's .idxann naming,
-    spectral_library.py:98-116).  Index-only settings (storage dtype)
-    key the filename rather than the shared store hash, so switching
-    them rebuilds just the index."""
+    spectral_library.py:98-116).  Index-only settings (storage dtype,
+    redundant assignment) key the filename rather than the shared store
+    hash, so switching them rebuilds just the index."""
     base = os.path.splitext(library_filename)[0]
     suffix = "" if index_dtype == "bf16" else f"_{index_dtype}"
+    if redundancy != 1:
+        suffix += f"_x{redundancy}"
     return f"{base}_{config_hash[:7]}_{charge}{suffix}.ivf.h5"
 
 
@@ -73,9 +82,10 @@ def ivf_index_filename(
 # Build: balanced list filling on device
 
 
-@partial(jax.jit, static_argnums=(1, 2))
+@partial(jax.jit, static_argnums=(2, 3))
 def _fill_lists(
     choices: jnp.ndarray,  # (N, A) int32 nearest-centroid ranking
+    used: jnp.ndarray,  # (num_list,) int32 slots already taken
     num_list: int,
     cap: int,
 ):
@@ -85,11 +95,12 @@ def _fill_lists(
     contenders for one list are ordered by a stable sort, the first
     ``cap - used`` of them are accepted.  Returns (list, slot) per vector
     (-1 = unplaced, handled by a host fallback) and per-list fill counts.
+    ``used`` carries fill state across redundant-assignment rounds (the
+    caller masks a vector's already-chosen lists out of ``choices``).
     """
     n, a_max = choices.shape
     placed_list = jnp.full((n,), -1, jnp.int32)
     placed_pos = jnp.full((n,), -1, jnp.int32)
-    used = jnp.zeros((num_list,), jnp.int32)
     iota = jnp.arange(n, dtype=jnp.int32)
     for a in range(a_max):
         cand = jnp.where(placed_list < 0, choices[:, a], num_list)
@@ -120,10 +131,11 @@ def _fill_lists(
     return placed_list, placed_pos, used
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def _pack_lists(
     vectors: jnp.ndarray,  # (N, D) float32
-    flat_slot: jnp.ndarray,  # (N,) int64 destination slot per vector
+    flat_slot: jnp.ndarray,  # (M,) int64 destination slots (-1 = skip)
+    row_ids: jnp.ndarray,  # (M,) int32 source row per slot entry
     num_list: int,
     cap: int,
     storage_dtype,
@@ -133,6 +145,9 @@ def _pack_lists(
     One fused program: an eager op-by-op formulation compiles each step
     separately and is orders of magnitude slower on tunneled TPUs.
 
+    With redundant assignment (M > N) the same source row appears in
+    several slots; entries with slot -1 are dropped.
+
     int8 storage quantizes per row (scale = max|v| / 127, the SQ8
     scheme); scans multiply the dequantization scale back in.  Returns
     (ids_flat, packed_block, packed_scales) -- scales are all-ones for
@@ -140,10 +155,11 @@ def _pack_lists(
     """
     n, d = vectors.shape
     total = num_list * cap
+    safe_slot = jnp.where(flat_slot >= 0, flat_slot, total)
     ids_flat = (
         jnp.full((total,), -1, jnp.int32)
-        .at[flat_slot]
-        .set(jnp.arange(n, dtype=jnp.int32))
+        .at[safe_slot]
+        .set(row_ids, mode="drop")
     )
     is_int8 = jnp.dtype(storage_dtype) == jnp.dtype("int8")
 
@@ -194,105 +210,191 @@ def _pack_prec(prec, ids_flat, num_list: int, cap: int):
 # Search
 
 
-@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
-def _ivf_search_tile(
+def _dedup_topk(scores, ids, k: int):
+    """Top-k by score over unique ids ((B, K') -> (B, k)).
+
+    Redundant assignment stores a vector in several lists, so a scan can
+    surface the same id up to R times (with identical scores -- copies
+    are bit-identical).  Sort by id, keep each id's first occurrence,
+    then re-select by score.
+    """
+    order = jnp.argsort(ids, axis=1)
+    ids_s = jnp.take_along_axis(ids, order, axis=1)
+    sc_s = jnp.take_along_axis(scores, order, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones_like(ids_s[:, :1], bool), ids_s[:, 1:] != ids_s[:, :-1]],
+        axis=1,
+    ) & (ids_s >= 0)
+    sc_s = jnp.where(first, sc_s, -jnp.inf)
+    k = min(k, ids_s.shape[1])
+    top, pos = jax.lax.top_k(sc_s, k)
+    out_ids = jnp.take_along_axis(ids_s, pos, axis=1)
+    return top, jnp.where(top > -jnp.inf, out_ids, -1)
+
+
+def _pad_topk(scores, ids, k: int):
+    """Right-pad (B, K') top-k outputs to width k with -inf / -1."""
+    k_eff = scores.shape[1]
+    if k_eff >= k:
+        return scores[:, :k], ids[:, :k]
+    pad = ((0, 0), (0, k - k_eff))
+    return (
+        jnp.pad(scores, pad, constant_values=-jnp.inf),
+        jnp.pad(ids, pad, constant_values=-1),
+    )
+
+
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14))
+def _ivf_search_batch(
     padded_vectors: jnp.ndarray,  # (L, cap, D) storage dtype
     padded_ids: jnp.ndarray,  # (L, cap) int32, -1 = padding
     padded_prec: jnp.ndarray,  # (L, cap) float32 precursor m/z (0 pad)
     padded_scales: jnp.ndarray,  # (L, cap) float32 (int8 dequant; 1s)
     centroids: jnp.ndarray,  # (L, D) float32
-    queries: jnp.ndarray,  # (TQ, D) float32
-    q_prec: jnp.ndarray,  # (TQ,) float32 (ignored unless tol_val > 0)
+    queries: jnp.ndarray,  # (B, D) float32, B % _TILE_Q == 0
+    q_prec: jnp.ndarray,  # (B,) float32 (ignored unless tol_val > 0)
     charge: jnp.ndarray,  # () float32 (Da-mode charge scaling)
     num_probe: int,
-    budget: int,  # lists scanned by this tile
+    budget: int,  # lists scanned per tile
     list_chunk: int,
     k: int,
+    k_scan: int,  # entries selected before dedup (R * k for x-R storage)
     tol_val: float,  # <= 0 disables the fused precursor window
     tol_mode: str,
 ):
+    """Whole-batch IVF search as ONE device program.
+
+    Round-2 profiling showed the per-tile host loop dominated by tunnel
+    round-trips (~26 ms per sync x 32 tiles), not device compute, and the
+    per-chunk top-k merge loop cost 50 ms/tile of device time vs 1.4 ms
+    for the scan itself.  This formulation fixes both:
+
+    * queries are centroid-sorted ON DEVICE and all tiles run inside one
+      `lax.map` -- no host orchestration, no per-tile downloads;
+    * each tile scans its top-voted `budget` lists as blocked MXU
+      matmuls, then every query *gathers the score rows of its own
+      probed lists* and runs ONE top-k over (num_probe x cap) entries --
+      no O(n_chunks) merge sorts, and 4x fewer entries than the scanned
+      superset;
+    * per-query probe coverage is exact by construction: a query whose
+      probed list fell outside the tile budget is flagged `dropped`
+      (scan-slot lookup < 0) for the caller's per-query rerun.
+
+    Returns (scores (B, k), ids (B, k), dropped (B,)) in input order.
+    """
     l, cap, d = padded_vectors.shape
-    tq = queries.shape[0]
+    b = queries.shape[0]
+    tile = _TILE_Q
+    n_tiles = b // tile
+    p = min(num_probe, l)
+    n_scan = min(budget, l)
+    n_chunks = -(-n_scan // list_chunk)
+    pad_scan = n_chunks * list_chunk
+
     coarse = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
-    )  # (TQ, L)
-    _, probe_ids = jax.lax.top_k(coarse, min(num_probe, l))
-    probed = jnp.zeros((tq, l), bool)
-    rows = jnp.arange(tq)[:, None]
-    probed = probed.at[rows, probe_ids].set(True)
-    votes = jnp.sum(probed, axis=0)  # (L,)
-    n_scan = min(budget, l)
-    _, scan_lists = jax.lax.top_k(votes, n_scan)
-    scanned = jnp.zeros((l,), bool).at[scan_lists].set(True)
-    # Per-query coverage: did any of MY probed lists miss the budget?
-    dropped = jnp.any(probed & ~scanned[None, :], axis=1)  # (TQ,)
+    )  # (B, L)
+    order = jnp.argsort(jnp.argmax(coarse, axis=1))
+    # Queries stay f32: a bf16 downcast flips near-ties at the top-k
+    # boundary vs the f32 brute-force oracle (the storage side is
+    # already bf16/int8; XLA promotes the matmul accumulation to f32).
+    q_s = queries[order]
+    prec_s = q_prec[order]
+    coarse_s = coarse[order]
 
-    n_chunks = -(-n_scan // list_chunk)
-    pad_lists = n_chunks * list_chunk
-    scan_lists = jnp.concatenate(
-        [scan_lists, jnp.zeros(pad_lists - n_scan, scan_lists.dtype)]
-    )
-    chunk_valid = jnp.arange(pad_lists) < n_scan
+    def tile_fn(inp):
+        qt, qpt, ct = inp  # (T, D) f32, (T,), (T, L) f32
+        _, probe_ids = jax.lax.top_k(ct, p)  # (T, P)
+        votes = (
+            jnp.zeros((l,), jnp.int32).at[probe_ids.reshape(-1)].add(1)
+        )
+        _, scan_lists = jax.lax.top_k(votes, n_scan)
+        scan_pos = (
+            jnp.full((l,), -1, jnp.int32)
+            .at[scan_lists]
+            .set(jnp.arange(n_scan, dtype=jnp.int32))
+        )
+        probe_slots = scan_pos[probe_ids]  # (T, P); -1 = not scanned
+        dropped = jnp.any(probe_slots < 0, axis=1)
+        safe_slots = jnp.maximum(probe_slots, 0)
+        scan_padded = jnp.concatenate(
+            [scan_lists,
+             jnp.zeros(pad_scan - n_scan, scan_lists.dtype)]
+        )
 
-    def body(c, state):
-        top_scores, top_ids = state
-        lists = jax.lax.dynamic_slice(
-            scan_lists, (c * list_chunk,), (list_chunk,)
-        )
-        lists_valid = jax.lax.dynamic_slice(
-            chunk_valid, (c * list_chunk,), (list_chunk,)
-        )
-        vecs = padded_vectors[lists]  # (C, cap, D)
-        ids = padded_ids[lists]  # (C, cap)
-        if vecs.dtype == jnp.int8:
-            vecs = vecs.astype(jnp.bfloat16)
-        scores = jnp.einsum(
-            "qd,cpd->qcp", queries, vecs,
-            preferred_element_type=jnp.float32,
-        )  # (TQ, C, cap)
-        scores = scores * padded_scales[lists][None, :, :]
-        mask = (
-            probed[:, lists][:, :, None]
-            & (ids >= 0)[None, :, :]
-            & lists_valid[None, :, None]
-        )
+        def chunk_fn(c):
+            lists = jax.lax.dynamic_slice(
+                scan_padded, (c * list_chunk,), (list_chunk,)
+            )
+            vecs = padded_vectors[lists]  # (C, cap, D)
+            if vecs.dtype == jnp.int8:
+                vecs = vecs.astype(jnp.bfloat16)
+            s = jnp.einsum(
+                "qd,cpd->qcp", qt, vecs,
+                preferred_element_type=jnp.float32,
+            )  # (T, C, cap)
+            return s * padded_scales[lists][None, :, :]
+
+        scores = jax.lax.map(
+            chunk_fn, jnp.arange(n_chunks)
+        )  # (NC, T, C, cap)
+        scores = jnp.transpose(scores, (1, 0, 2, 3)).reshape(
+            tile, pad_scan, cap
+        )[:, :n_scan]
+        # Per-query gather of its own probed lists' score rows.
+        sel = jnp.take_along_axis(
+            scores, safe_slots[:, :, None], axis=1
+        )  # (T, P, cap)
+        ids_g = padded_ids[probe_ids]  # (T, P, cap)
+        mask = (ids_g >= 0) & (probe_slots >= 0)[:, :, None]
         if tol_val > 0:
-            prec = padded_prec[lists]  # (C, cap)
+            prec = padded_prec[probe_ids]  # (T, P, cap)
             if tol_mode == "Da":
-                window = (
-                    jnp.abs(q_prec[:, None, None] - prec[None, :, :])
-                    * charge
-                    <= tol_val
+                mask &= (
+                    jnp.abs(qpt[:, None, None] - prec) * charge <= tol_val
                 )
             else:  # ppm
-                window = (
-                    jnp.abs(q_prec[:, None, None] - prec[None, :, :])
-                    / jnp.maximum(prec[None, :, :], 1e-6)
-                    * 1e6
+                mask &= (
+                    jnp.abs(qpt[:, None, None] - prec)
+                    / jnp.maximum(prec, 1e-6) * 1e6
                     <= tol_val
                 )
-            mask &= window
-        scores = jnp.where(mask, scores, -jnp.inf)
-        flat_scores = scores.reshape(tq, -1)
-        flat_ids = jnp.broadcast_to(
-            ids.reshape(-1)[None, :], (tq, ids.size)
+        flat = jnp.where(mask, sel, -jnp.inf).reshape(tile, p * cap)
+        k_sel = min(k_scan, p * cap)
+        top_s, pos = jax.lax.top_k(flat, k_sel)
+        top_i = jnp.take_along_axis(
+            ids_g.reshape(tile, p * cap), pos, axis=1
         )
-        merged_scores = jnp.concatenate([top_scores, flat_scores], axis=1)
-        merged_ids = jnp.concatenate([top_ids, flat_ids], axis=1)
-        new_scores, pos = jax.lax.top_k(merged_scores, k)
-        new_ids = jnp.take_along_axis(merged_ids, pos, axis=1)
-        return new_scores, new_ids
+        top_i = jnp.where(top_s > -jnp.inf, top_i, -1)
+        if k_sel > k:  # redundant storage: dedup ids, reselect top-k
+            top_s, top_i = _dedup_topk(top_s, top_i, k)
+        top_s, top_i = _pad_topk(top_s, top_i, k)
+        return top_s, top_i, dropped
 
-    init = (
-        jnp.full((tq, k), -jnp.inf, jnp.float32),
-        jnp.full((tq, k), -1, jnp.int32),
+    scores_t, ids_t, dropped_t = jax.lax.map(
+        tile_fn,
+        (
+            q_s.reshape(n_tiles, tile, d),
+            prec_s.reshape(n_tiles, tile),
+            coarse_s.reshape(n_tiles, tile, l),
+        ),
     )
-    top_scores, top_ids = jax.lax.fori_loop(0, n_chunks, body, init)
-    top_ids = jnp.where(top_scores > -jnp.inf, top_ids, -1)
-    return top_scores, top_ids, dropped
+    # Scatter back to input order.
+    out_scores = (
+        jnp.zeros((b, k), jnp.float32)
+        .at[order]
+        .set(scores_t.reshape(b, k))
+    )
+    out_ids = (
+        jnp.full((b, k), -1, jnp.int32).at[order].set(ids_t.reshape(b, k))
+    )
+    out_dropped = (
+        jnp.zeros((b,), bool).at[order].set(dropped_t.reshape(b))
+    )
+    return out_scores, out_ids, out_dropped
 
 
-@partial(jax.jit, static_argnums=(8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12))
 def _ivf_search_perquery(
     padded_vectors: jnp.ndarray,  # (L, cap, D)
     padded_ids: jnp.ndarray,  # (L, cap)
@@ -304,6 +406,7 @@ def _ivf_search_perquery(
     charge: jnp.ndarray,  # ()
     num_probe: int,
     k: int,
+    k_scan: int,  # entries selected before dedup (R * k)
     tol_val: float,
     tol_mode: str,
 ):
@@ -318,7 +421,7 @@ def _ivf_search_perquery(
         queries, centroids.T, preferred_element_type=jnp.float32
     )
     _, probe_ids = jax.lax.top_k(coarse, p)  # (B, P)
-    k_eff = min(k, p * cap)
+    k_eff = min(k_scan, p * cap)
 
     # Process queries in small groups: amortizes scan-step overhead while
     # keeping the per-group gather (G * P * cap * D) VMEM-sized.
@@ -366,12 +469,9 @@ def _ivf_search_perquery(
     )
     scores = scores.reshape(b, k_eff)
     ids = ids.reshape(b, k_eff)
-    if k_eff < k:
-        scores = jnp.pad(
-            scores, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf
-        )
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-    return scores, ids
+    if k_eff > k:  # redundant storage: dedup ids, reselect top-k
+        scores, ids = _dedup_topk(scores, ids, k)
+    return _pad_topk(scores, ids, k)
 
 
 class IvfIndex:
@@ -385,11 +485,16 @@ class IvfIndex:
         num_probe: int,
         padded_prec: Optional[np.ndarray] = None,  # (L, cap)
         padded_scales: Optional[np.ndarray] = None,  # (L, cap), int8 SQ
+        redundancy: int = 1,
     ):
         self.centroids = centroids
         self.padded_vectors = padded_vectors
         self.padded_ids = padded_ids
         self.num_probe = num_probe
+        # Copies stored per vector: search paths scan top-(R*k) entries
+        # and deduplicate ids so k unique neighbors survive worst-case
+        # duplication.
+        self.redundancy = max(1, int(redundancy))
         if padded_prec is None:
             padded_prec = np.zeros(padded_ids.shape, np.float32)
         self.padded_prec = padded_prec
@@ -408,8 +513,10 @@ class IvfIndex:
 
     @property
     def bytes_per_vector(self) -> float:
-        """Storage bytes per *indexed* vector incl. padding overhead."""
-        n = int(np.sum(np.asarray(self.padded_ids) >= 0))
+        """Storage bytes per *indexed* vector incl. padding overhead and
+        redundant copies (unique-id denominator)."""
+        ids = np.asarray(self.padded_ids)
+        n = len(np.unique(ids[ids >= 0]))
         total = (
             np.asarray(self.padded_vectors).nbytes
             + np.asarray(self.padded_ids).nbytes
@@ -440,6 +547,7 @@ class IvfIndex:
         precursor_mz=None,
         seed: int = 42,
         storage_dtype=ml_dtypes.bfloat16,
+        redundancy: Optional[int] = None,
     ) -> "IvfIndex":
         """Train the quantizer and pack balanced lists (the reference's
         FAISS train/add, spectral_library.py:163-181).
@@ -447,58 +555,105 @@ class IvfIndex:
         Everything heavy runs on device: subsampled k-means training,
         blocked top-A centroid assignment, sort-based balanced list
         filling, and the final gather into the (L, cap, D) block.  Only
-        assignment *failures* (vectors whose A=4 nearest lists are all
+        assignment *failures* (vectors whose A nearest lists are all
         full -- rare) fall back to a host pass.
+
+        ``redundancy`` R > 1 stores each vector in its R nearest lists
+        (ScaNN/SOAR-style redundant assignment): a query whose coarse
+        ranking misses the vector's primary list can still find it via
+        the secondary copy.  Costs R x list storage; search paths
+        deduplicate ids, so results are identical to a single-assignment
+        index when the primary list is probed, and strictly better
+        otherwise.
         """
         num_list = int(config.num_list)
+        if redundancy is None:
+            try:
+                redundancy = int(config.ivf_redundancy)
+            except (KeyError, AttributeError):
+                redundancy = 2
+        r_eff = max(1, min(redundancy, num_list))
         # f32 or bf16 source (bf16 halves HBM during multi-million-row
         # builds; all matmuls accumulate f32 either way).
         vectors_d = jnp.asarray(vectors)
         n, d = vectors_d.shape
-        cap = max(8, int(-(-_FILL_SLACK * n / num_list // 8) * 8))
+        cap = max(
+            8, int(-(-_FILL_SLACK * r_eff * n / num_list // 8) * 8)
+        )
         logger.info(
-            "Train IVF index: %d vectors, %d lists (cap %d)",
-            n, num_list, cap,
+            "Train IVF index: %d vectors, %d lists (cap %d, x%d)",
+            n, num_list, cap, r_eff,
         )
         centroids, _ = spherical_kmeans(
             vectors_d, num_list, seed=seed,
             max_points_per_centroid=_TRAIN_POINTS_PER_CENTROID,
         )
-        choices = assign_topk_blocked(
-            vectors_d, centroids, min(_N_CHOICES, num_list)
-        )
-        placed_list, placed_pos, used = _fill_lists(choices, num_list, cap)
-        placed_list = np.array(placed_list)  # writable host copies
-        placed_pos = np.array(placed_pos)
-        unplaced = np.nonzero(placed_list < 0)[0]
-        if len(unplaced):
-            # All A choices full: place into any list with free slots.
-            used_np = np.asarray(used).copy()
-            order = np.argsort(used_np)
-            free_slots = []
-            for list_id in order:
-                free_slots.extend(
-                    (list_id, pos)
-                    for pos in range(used_np[list_id], cap)
-                )
-                if len(free_slots) >= len(unplaced):
-                    break
-            if len(free_slots) < len(unplaced):
-                raise RuntimeError(
-                    "IVF capacity exhausted; raise _FILL_SLACK"
-                )
-            for row, (list_id, pos) in zip(unplaced, free_slots):
-                placed_list[row] = list_id
-                placed_pos[row] = pos
-            logger.debug(
-                "IVF spill fallback placed %d vectors", len(unplaced)
+        n_choices = min(max(_N_CHOICES, r_eff + 2), num_list)
+        choices = assign_topk_blocked(vectors_d, centroids, n_choices)
+        primary = np.asarray(choices[:, 0])
+        used = jnp.zeros((num_list,), jnp.int32)
+        all_slots = []
+        spilled = 0
+        for r in range(r_eff):
+            placed_list, placed_pos, used = _fill_lists(
+                choices, used, num_list, cap
             )
-        flat_slot = (
-            placed_list.astype(np.int64) * cap + placed_pos
-        )
+            placed_list = np.array(placed_list)  # writable host copies
+            placed_pos = np.array(placed_pos)
+            unplaced = np.nonzero(placed_list < 0)[0]
+            if len(unplaced) and r == 0:
+                # All A choices full: place into any list with free
+                # slots (primary copies must always land somewhere).
+                used_np = np.asarray(used).copy()
+                order = np.argsort(used_np)
+                free_slots = []
+                for list_id in order:
+                    free_slots.extend(
+                        (list_id, pos)
+                        for pos in range(used_np[list_id], cap)
+                    )
+                    if len(free_slots) >= len(unplaced):
+                        break
+                if len(free_slots) < len(unplaced):
+                    raise RuntimeError(
+                        "IVF capacity exhausted; raise _FILL_SLACK"
+                    )
+                for row, (list_id, pos) in zip(unplaced, free_slots):
+                    placed_list[row] = list_id
+                    placed_pos[row] = pos
+                    used_np[list_id] += 1
+                used = jnp.asarray(used_np)
+                logger.debug(
+                    "IVF spill fallback placed %d vectors", len(unplaced)
+                )
+            elif len(unplaced):
+                # Secondary copies are best-effort redundancy.
+                logger.debug(
+                    "IVF redundancy round %d dropped %d copies",
+                    r, len(unplaced),
+                )
+            if r == 0:
+                spilled = int(np.sum(placed_list != primary))
+            all_slots.append(
+                np.where(
+                    placed_list >= 0,
+                    placed_list.astype(np.int64) * cap + placed_pos,
+                    -1,
+                )
+            )
+            if r + 1 < r_eff:
+                # Mask this round's placements out of the choice ranking
+                # so the next copy lands in a different list.
+                choices = jnp.where(
+                    choices == jnp.asarray(placed_list)[:, None],
+                    num_list,
+                    choices,
+                )
+        flat_slot = np.concatenate(all_slots)
+        row_ids = np.tile(np.arange(n, dtype=np.int32), r_eff)
         ids_flat, padded_vectors, padded_scales = _pack_lists(
-            vectors_d, jnp.asarray(flat_slot), num_list, cap,
-            jnp.dtype(storage_dtype),
+            vectors_d, jnp.asarray(flat_slot), jnp.asarray(row_ids),
+            num_list, cap, jnp.dtype(storage_dtype),
         )
         padded_ids = ids_flat.reshape(num_list, cap)
         if precursor_mz is not None:
@@ -508,14 +663,15 @@ class IvfIndex:
             )
         else:
             padded_prec = jnp.zeros((num_list, cap), jnp.float32)
-        spilled = int(np.sum(placed_list != np.asarray(choices[:, 0])))
         logger.debug(
             "IVF lists: cap=%d fill=%.2f spilled=%d (%.2f%%)",
-            cap, n / (num_list * cap), spilled, 100.0 * spilled / max(n, 1),
+            cap, r_eff * n / (num_list * cap), spilled,
+            100.0 * spilled / max(n, 1),
         )
         return cls(
             np.asarray(centroids), padded_vectors, padded_ids,
             int(config.num_probe), padded_prec, padded_scales,
+            redundancy=r_eff,
         )
 
     @classmethod
@@ -588,6 +744,7 @@ class IvfIndex:
             f.create_dataset(
                 "padded_scales", data=np.asarray(self.padded_scales)
             )
+            f.attrs["redundancy"] = self.redundancy
 
     @classmethod
     def load(cls, filename: str, num_probe: int) -> "IvfIndex":
@@ -605,6 +762,7 @@ class IvfIndex:
                 num_probe,
                 f["padded_prec"][()] if "padded_prec" in f else None,
                 f["padded_scales"][()] if "padded_scales" in f else None,
+                redundancy=int(f.attrs.get("redundancy", 1)),
             )
 
     # ------------------------------------------------------------------ #
@@ -646,19 +804,42 @@ class IvfIndex:
         tol_mode: str = "Da",
         return_scores: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Like `search` but also returns the inner-product scores.
+        """Like `search` but also returns the inner-product scores."""
+        ids, scores = self.search_device(
+            queries, k, num_probe, q_prec, charge, tol_val, tol_mode
+        )
+        return (
+            np.asarray(ids),
+            np.asarray(scores) if return_scores else None,
+        )
 
-        `queries` may be a device array: the sticky-degenerate fast path
-        then runs without any host round-trip of the query vectors
-        (tunneled TPUs pay ~10-20ms per avoidable MB each way).  With
-        `return_scores=False` the (B, k) score download is skipped too.
+    def search_device(
+        self,
+        queries,
+        k: int,
+        num_probe: Optional[int] = None,
+        q_prec=None,
+        charge: float = 1.0,
+        tol_val: float = 0.0,
+        tol_mode: str = "Da",
+    ):
+        """Whole-batch search returning DEVICE arrays ((B, k) ids, scores).
+
+        One device program covers every tile (query sorting, voting,
+        blocked scans, per-query probe-row gather, top-k, duplicate-id
+        removal for redundant storage); callers chaining into device-side
+        rescoring never download the candidate matrix.  The only host
+        round trip is the (B,) dropped-coverage flags -- rows whose
+        probed lists overflowed the tile scan budget re-run through the
+        exact per-query gather scan, so per-query ``nprobe`` semantics
+        stay exact.  `queries` may be a NumPy or device array.
         """
         num_probe = int(num_probe or self.num_probe)
         b = len(queries)
         if b == 0:
             return (
-                np.zeros((0, k), np.int32),
-                np.zeros((0, k), np.float32),
+                jnp.zeros((0, k), jnp.int32),
+                jnp.zeros((0, k), jnp.float32),
             )
         if q_prec is None:
             q_prec = np.zeros(b, np.float32)
@@ -668,93 +849,64 @@ class IvfIndex:
         )
         charge_d = jnp.float32(charge)
         l = self.num_list
+        k_scan = self.redundancy * k
         budget = min(l, max(_TILE_LIST_SLACK * num_probe, num_probe + 8))
-        # (budget >= l tiles scan everything masked: nothing can drop and
-        # the shared scan beats per-query gathers -- keep tiles then.)
+        queries_d = jnp.asarray(queries, jnp.float32)
+        q_prec_d = jnp.asarray(q_prec, jnp.float32)
         if self._tiles_degenerate and budget < l:
-            # Device-resident fast path: all queries through the exact
-            # per-query gather scan, one program, one download.
+            # Sticky fast path: this index's query sets share too few
+            # lists for tile-level scanning; go straight to the exact
+            # per-query gather scan.
+            b_pad = _next_pow2(b)
+            if b_pad != b:
+                queries_d = jnp.pad(queries_d, ((0, b_pad - b), (0, 0)))
+                q_prec_d = jnp.pad(q_prec_d, (0, b_pad - b))
             scores, ids = _ivf_search_perquery(
                 vectors_d, ids_d, prec_d, scales_d, centroids_d,
-                jnp.asarray(queries, jnp.float32),
-                jnp.asarray(q_prec, jnp.float32),
-                charge_d, num_probe, k, tol_val, tol_mode,
+                queries_d, q_prec_d, charge_d,
+                num_probe, k, k_scan, tol_val, tol_mode,
             )
-            return (
-                np.asarray(ids),
-                np.asarray(scores) if return_scores else None,
-            )
+            return ids[:b], scores[:b]
 
-        queries = np.asarray(queries, np.float32)
-        q_prec = np.asarray(q_prec, np.float32)
-        out_ids = np.full((b, k), -1, np.int32)
-        out_scores = np.full((b, k), -np.inf, np.float32)
-        tiles_degenerate = False
-        top1 = np.asarray(
-            jnp.argmax(
-                jnp.dot(jnp.asarray(queries), centroids_d.T,
-                        preferred_element_type=jnp.float32),
-                axis=1,
-            )
+        # Pad to a power-of-two tile count: bounded recompiles.
+        b_pad = _TILE_Q * _next_pow2(-(-b // _TILE_Q))
+        if b_pad != b:
+            queries_d = jnp.pad(queries_d, ((0, b_pad - b), (0, 0)))
+            q_prec_d = jnp.pad(q_prec_d, (0, b_pad - b))
+        out_scores, out_ids, dropped = _ivf_search_batch(
+            vectors_d, ids_d, prec_d, scales_d, centroids_d,
+            queries_d, q_prec_d, charge_d,
+            num_probe, budget, _LIST_CHUNK, k, k_scan, tol_val, tol_mode,
         )
-        order = np.argsort(top1, kind="stable")
-        retry_rows = []
-        for start in range(0, b, _TILE_Q):
-            rows = order[start : start + _TILE_Q]
-            if tiles_degenerate:
-                # The query set shares too few lists for tile-level
-                # sharing (first tile dropped most rows): skip straight
-                # to the exact per-query gather scan.
-                retry_rows.extend(rows)
-                continue
-            tile = queries[rows]
-            tile_prec = q_prec[rows]
-            if len(tile) < _TILE_Q:  # pad tail tile to the compiled shape
-                pad = _TILE_Q - len(tile)
-                tile = np.concatenate(
-                    [tile, np.zeros((pad, tile.shape[1]), np.float32)]
-                )
-                tile_prec = np.concatenate(
-                    [tile_prec, np.zeros(pad, np.float32)]
-                )
-            scores, ids, dropped = _ivf_search_tile(
-                vectors_d, ids_d, prec_d, scales_d, centroids_d,
-                tile, tile_prec, charge_d,
-                num_probe, budget, _LIST_CHUNK, k, tol_val, tol_mode,
-            )
-            dropped = np.asarray(dropped)[: len(rows)]
-            out_ids[rows] = np.asarray(ids)[: len(rows)]
-            out_scores[rows] = np.asarray(scores)[: len(rows)]
-            retry_rows.extend(rows[dropped])
-            if start == 0 and budget < l and dropped.mean() > 0.5:
-                tiles_degenerate = True
-                self._tiles_degenerate = True
-        if retry_rows and budget < l:
-            # Exact batched fallback: queries whose probes overflowed the
-            # tile budget re-run through the per-query gather scan (their
-            # own top-num_probe lists, nothing shared, nothing dropped).
-            logger.debug(
-                "IVF probe-budget overflow for %d/%d queries; "
-                "per-query rerun", len(retry_rows), b,
-            )
-            retry_rows = np.asarray(retry_rows)
-            # Pad the retry set to a power of two: bounded recompiles.
-            n_retry = len(retry_rows)
-            n_pad = 1
-            while n_pad < n_retry:
-                n_pad *= 2
-            padded_rows = np.concatenate(
+        if budget >= l:  # every list scanned: nothing can drop
+            return out_ids[:b], out_scores[:b]
+        dropped_np = np.asarray(dropped)[:b]  # one small download
+        n_retry = int(dropped_np.sum())
+        if n_retry == 0:
+            return out_ids[:b], out_scores[:b]
+        if n_retry > b // 2:
+            self._tiles_degenerate = True
+        logger.debug(
+            "IVF probe-budget overflow for %d/%d queries; per-query "
+            "rerun", n_retry, b,
+        )
+        retry_rows = np.nonzero(dropped_np)[0]
+        # Pad the retry set to a power of two (bounded recompiles);
+        # padding duplicates row 0, whose scatter writes are idempotent.
+        n_pad = _next_pow2(n_retry)
+        rows_d = jnp.asarray(
+            np.concatenate(
                 [retry_rows, np.full(n_pad - n_retry, retry_rows[0])]
-            )
-            scores, ids = _ivf_search_perquery(
-                vectors_d, ids_d, prec_d, scales_d, centroids_d,
-                jnp.asarray(queries[padded_rows]),
-                jnp.asarray(q_prec[padded_rows]),
-                charge_d, num_probe, k, tol_val, tol_mode,
-            )
-            out_ids[retry_rows] = np.asarray(ids)[:n_retry]
-            out_scores[retry_rows] = np.asarray(scores)[:n_retry]
-        return out_ids, out_scores
+            ).astype(np.int32)
+        )
+        r_scores, r_ids = _ivf_search_perquery(
+            vectors_d, ids_d, prec_d, scales_d, centroids_d,
+            queries_d[rows_d], q_prec_d[rows_d], charge_d,
+            num_probe, k, k_scan, tol_val, tol_mode,
+        )
+        out_ids = out_ids.at[rows_d].set(r_ids)
+        out_scores = out_scores.at[rows_d].set(r_scores)
+        return out_ids[:b], out_scores[:b]
 
 
 def bruteforce_search(

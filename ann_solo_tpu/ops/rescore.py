@@ -128,6 +128,19 @@ def _stage1_bounds(
     return ub, exact
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def _stage2_select(ub, exact, cand_ids, t: int):
+    """Device-side stage-2 selection: per query, the top-`t` candidates
+    by upper bound (sorted descending) with their ids / exactness flags,
+    plus valid-candidate counts.  Keeps the (B, C) bound matrix on
+    device -- only these (B, T) slivers are downloaded."""
+    ub_sel, pos = jax.lax.top_k(ub, t)
+    ids_sel = jnp.take_along_axis(cand_ids, pos, axis=1)
+    exact_sel = jnp.take_along_axis(exact, pos, axis=1)
+    n_cands = jnp.sum(cand_ids >= 0, axis=1).astype(jnp.int32)
+    return ub_sel, ids_sel, exact_sel, n_cands
+
+
 @functools.partial(jax.jit, static_argnums=(9, 10, 11, 12))
 def _greedy_pairs(
     q_mz, q_int, q_prec,
@@ -151,6 +164,27 @@ def _greedy_pairs(
 _GREEDY_CHUNK = 8192  # fixed pair-chunk: ONE compiled greedy program
 
 
+def _dp_pair_sharding(lib_mz):
+    """Pair-axis sharding matching the library arrays' mesh, if any.
+
+    When the engine runs query data parallelism the library blocks are
+    replicated over a (dp, lib) mesh; pair uploads must then shard over
+    'dp' (greedy pairs are embarrassingly parallel) -- a single-device
+    pair upload would conflict with the mesh-placed library inputs.
+    """
+    sharding = getattr(lib_mz, "sharding", None)
+    mesh = getattr(sharding, "mesh", None)
+    if (
+        mesh is None
+        or "dp" not in getattr(mesh, "shape", {})
+        or getattr(mesh, "size", 1) <= 1
+    ):
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec("dp"))
+
+
 def _greedy_pairs_chunked(
     q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
     pair_q, pair_c,
@@ -160,10 +194,13 @@ def _greedy_pairs_chunked(
 
     Dynamic pair counts would compile a fresh (expensive) kernel per
     shape; chunking to one fixed size keeps exactly one compiled variant
-    per process.
+    per process.  All chunks are dispatched asynchronously before any
+    download: the tunnel round trip (~26 ms) is paid once, not per chunk.
     """
     n = pair_q.shape[0]
     out = np.empty(n, np.float32)
+    pair_sharding = _dp_pair_sharding(lib_mz)
+    pending = []
     for start in range(0, n, _GREEDY_CHUNK):
         pq = pair_q[start : start + _GREEDY_CHUNK]
         pc = pair_c[start : start + _GREEDY_CHUNK]
@@ -171,11 +208,18 @@ def _greedy_pairs_chunked(
         if m < _GREEDY_CHUNK:
             pq = np.pad(pq, (0, _GREEDY_CHUNK - m))
             pc = np.pad(pc, (0, _GREEDY_CHUNK - m), constant_values=-1)
+        pq_d = jnp.asarray(pq, jnp.int32)
+        pc_d = jnp.asarray(pc, jnp.int32)
+        if pair_sharding is not None:
+            pq_d = jax.device_put(pq_d, pair_sharding)
+            pc_d = jax.device_put(pc_d, pair_sharding)
         scores = _greedy_pairs(
             q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
-            jnp.asarray(pq, jnp.int32), jnp.asarray(pc, jnp.int32),
+            pq_d, pc_d,
             fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
         )
+        pending.append((start, m, scores))
+    for start, m, scores in pending:
         out[start : start + m] = np.asarray(scores)[:m]
     return out
 
@@ -216,43 +260,41 @@ def rescore_candidate_matrix(
         # v5e (lax.map step overhead dominates below that); the
         # (P, K, K) float32 intermediate stays under ~700 MB.
         c_chunk = max(8, min(c, 65536 // max(b, 1)))
-    # One transfer of the candidate matrix at most, whichever side it
-    # arrives on (stage 1 needs it on device, stage 2 on the host).
-    if isinstance(cand_ids, np.ndarray):
-        cand_np = cand_ids.astype(np.int32, copy=False)
-        cand_dev = jnp.asarray(cand_np)
-    else:
-        cand_dev = jnp.asarray(cand_ids, jnp.int32)
-        cand_np = np.asarray(cand_dev)
-    ub, exact = _stage1_bounds(
+    # The candidate matrix never round-trips: stage 1 consumes it on
+    # device, and stage 2's top-T selection also runs on device so only
+    # (B, T) slivers cross the tunnel (a (B, C) download costs ~100 ms
+    # + round trip at bench shapes).
+    cand_dev = jnp.asarray(cand_ids, jnp.int32)
+    ub_d, exact_d = _stage1_bounds(
         q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
         cand_dev, fragment_mz_tolerance, num_shifts,
         allow_shift, min(c_chunk, c),
     )
-    # Stage 2 runs on the host over fixed-size device chunks only --
+    t = min(top_t, c)
+    ub_sel_d, ids_sel_d, exact_sel_d, n_cands_d = _stage2_select(
+        ub_d, exact_d, cand_dev, t
+    )
+    # Small host downloads; the greedy-pair selection logic is
+    # irregular host work by design (fixed-size device chunks only --
     # dynamic-shape device programs recompile per shape, which dominates
-    # wall time on tunneled TPU backends.
-    ub = np.asarray(ub)
-    exact = np.asarray(exact)
-    valid = cand_np >= 0
-    n_cands = valid.sum(axis=1).astype(np.int32)
-    top1 = np.argmax(ub, axis=1)
-    rows = np.arange(b)
+    # wall time on tunneled TPU backends).
+    ub_sel = np.asarray(ub_sel_d)  # (B, T) sorted descending
+    ids_sel = np.asarray(ids_sel_d)
+    exact_sel = np.asarray(exact_sel_d)
+    n_cands = np.asarray(n_cands_d)
     has_any = n_cands > 0
-    best_idx = np.where(has_any, cand_np[rows, top1], -1).astype(np.int64)
+    best_idx = np.where(has_any, ids_sel[:, 0], -1).astype(np.int64)
     best_score = np.where(
-        has_any, ub[rows, top1], -np.inf
+        has_any, ub_sel[:, 0], -np.inf
     ).astype(np.float64)
-    need = ~exact[rows, top1] & has_any
+    need = ~exact_sel[:, 0] & has_any
     sel = np.nonzero(need)[0]
     if len(sel) == 0:
         return best_idx, best_score, n_cands
 
-    t = min(top_t, c)
-    part = np.argpartition(-ub[sel], t - 1, axis=1)[:, :t]
-    ub_sel = np.take_along_axis(ub[sel], part, axis=1)  # (S, T)
-    ids_sel = np.take_along_axis(cand_np[sel], part, axis=1)
-    exact_sel = np.take_along_axis(exact[sel], part, axis=1)
+    ub_sel = ub_sel[sel]  # (S, T)
+    ids_sel = ids_sel[sel]
+    exact_sel = exact_sel[sel]
     # Pairs flagged exact need no greedy -- their bound IS the greedy
     # score; only the conflicted pairs hit the kernel (typically a
     # minority even among the selected top-T).
@@ -280,9 +322,11 @@ def rescore_candidate_matrix(
     cert = (exact_scores[s_rows, best_t] >= t_th) | np.isneginf(t_th)
     failures = sel[~cert]
     if len(failures) and t < c:
-        # Full greedy over all C candidates for certificate failures.
+        # Full greedy over all C candidates for certificate failures
+        # (rare: only their candidate rows are downloaded).
+        cand_fail = np.asarray(cand_dev[jnp.asarray(failures)])
         pair_q = np.repeat(failures, c).astype(np.int32)
-        pair_c = cand_np[failures].reshape(-1)
+        pair_c = cand_fail.reshape(-1)
         scores = _greedy_pairs_chunked(
             q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
             pair_q, pair_c,
@@ -290,6 +334,6 @@ def rescore_candidate_matrix(
         ).reshape(len(failures), c)
         f_best = np.argmax(scores, axis=1)
         f_rows = np.arange(len(failures))
-        best_idx[failures] = cand_np[failures, f_best]
+        best_idx[failures] = cand_fail[f_rows, f_best]
         best_score[failures] = scores[f_rows, f_best]
     return best_idx, best_score, n_cands

@@ -26,6 +26,8 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
+from ann_solo_tpu.index.ivf import _dedup_topk, _pad_topk
+
 
 def _local_ivf_scan(
     queries,  # (B_l, D) local query tile
@@ -43,6 +45,7 @@ def _local_ivf_scan(
     tol_mode: str,
     list_axes: Tuple[str, ...] = ("lib",),
     list_axis_sizes: Tuple[int, ...] = (1,),
+    k_scan: int = 0,  # pre-dedup width for redundant storage (0 = k)
 ):
     l_total = centroids.shape[0]
     b = queries.shape[0]
@@ -91,7 +94,11 @@ def _local_ivf_scan(
     flat_ids = jnp.broadcast_to(
         padded_ids.reshape(-1)[None, :], (b, l_l * p)
     )
-    k_local = min(k, l_l * p)
+    # With redundant storage (index.redundancy > 1) a vector's copies may
+    # live on different shards (or the same one): keep k_scan = R * k
+    # entries through the merge, then dedup ids globally.
+    k_scan = max(k_scan, k)
+    k_local = min(k_scan, l_l * p)
     local_scores, pos = jax.lax.top_k(scores, k_local)
     local_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
     # Merge per-shard top-k over ICI.
@@ -104,17 +111,24 @@ def _local_ivf_scan(
         b, s * k_local
     )
     merged_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(b, s * k_local)
-    top_scores, top_pos = jax.lax.top_k(merged_scores, min(k, s * k_local))
+    top_scores, top_pos = jax.lax.top_k(
+        merged_scores, min(k_scan, s * k_local)
+    )
     top_ids = jnp.take_along_axis(merged_ids, top_pos, axis=1)
-    return jnp.where(top_scores > -jnp.inf, top_ids, -1), top_scores
+    top_ids = jnp.where(top_scores > -jnp.inf, top_ids, -1)
+    if top_scores.shape[1] > k:
+        top_scores, top_ids = _dedup_topk(top_scores, top_ids, k)
+    top_scores, top_ids = _pad_topk(top_scores, top_ids, k)
+    return top_ids, top_scores
 
 
-@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12, 13))
+@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12, 13, 14))
 def _sharded_ivf_impl(
     mesh, queries, query_prec, padded_vectors, padded_ids, padded_prec,
     padded_scales, centroids,
     num_probe: int, k: int, lists_per_shard: int,
     charge: float, tol_val: float, tol_mode: str,
+    k_scan: int = 0,
 ):
     fn = shard_map(
         partial(
@@ -125,6 +139,7 @@ def _sharded_ivf_impl(
             charge=charge,
             tol_val=tol_val,
             tol_mode=tol_mode,
+            k_scan=k_scan,
         ),
         mesh=mesh,
         in_specs=(
@@ -157,6 +172,7 @@ class ShardedIvfIndex:
             )
         self.mesh = mesh
         self.num_probe = index.num_probe
+        self.redundancy = getattr(index, "redundancy", 1)
         self.lists_per_shard = n_lists // lib_shards
         self.vectors_s = jax.device_put(
             jnp.asarray(index.padded_vectors),
@@ -204,33 +220,47 @@ class ShardedIvfIndex:
         tol_val: float = 0.0,
         tol_mode: str = "Da",
     ) -> Tuple[np.ndarray, np.ndarray]:
+        ids, scores = self.search_device(
+            queries, k, num_probe, q_prec, charge, tol_val, tol_mode
+        )
+        return np.asarray(ids), np.asarray(scores)
+
+    def search_device(
+        self,
+        queries,
+        k: int,
+        num_probe: int = 0,
+        q_prec=None,
+        charge: float = 1.0,
+        tol_val: float = 0.0,
+        tol_mode: str = "Da",
+    ):
+        """Sharded search returning global DEVICE arrays (dp-sharded):
+        downstream device-side rescoring consumes them without a host
+        round trip.  `queries` may be NumPy or an (already dp-sharded)
+        device array."""
         num_probe = int(num_probe or self.num_probe)
         b = len(queries)
         if b == 0:
             return (
-                np.zeros((0, k), np.int32),
-                np.zeros((0, k), np.float32),
+                jnp.zeros((0, k), jnp.int32),
+                jnp.zeros((0, k), jnp.float32),
             )
         if q_prec is None:
             q_prec = np.zeros(b, np.float32)
             tol_val = 0.0
         dp = self.mesh.shape["dp"]
         b_pad = -(-b // dp) * dp
-        queries = np.asarray(queries, np.float32)
-        q_prec = np.asarray(q_prec, np.float32)
+        queries_d = jnp.asarray(queries, jnp.float32)
+        q_prec_d = jnp.asarray(q_prec, jnp.float32)
         if b_pad != b:
-            queries = np.concatenate(
-                [queries,
-                 np.zeros((b_pad - b, queries.shape[1]), np.float32)]
-            )
-            q_prec = np.concatenate(
-                [q_prec, np.zeros(b_pad - b, np.float32)]
-            )
+            queries_d = jnp.pad(queries_d, ((0, b_pad - b), (0, 0)))
+            q_prec_d = jnp.pad(q_prec_d, (0, b_pad - b))
         queries_s = jax.device_put(
-            jnp.asarray(queries), NamedSharding(self.mesh, P("dp", None))
+            queries_d, NamedSharding(self.mesh, P("dp", None))
         )
         q_prec_s = jax.device_put(
-            jnp.asarray(q_prec), NamedSharding(self.mesh, P("dp"))
+            q_prec_d, NamedSharding(self.mesh, P("dp"))
         )
         ids, scores = _sharded_ivf_impl(
             self.mesh, queries_s, q_prec_s,
@@ -238,16 +268,18 @@ class ShardedIvfIndex:
             self.centroids_s,
             num_probe, k, self.lists_per_shard,
             float(charge), float(tol_val), tol_mode,
+            self.redundancy * k,
         )
-        return np.asarray(ids)[:b], np.asarray(scores)[:b]
+        return ids[:b], scores[:b]
 
 
-@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12, 13))
+@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12, 13, 14))
 def _multislice_ivf_impl(
     mesh, queries, query_prec, padded_vectors, padded_ids, padded_prec,
     padded_scales, centroids,
     num_probe: int, k: int, lists_per_shard: int,
     charge: float, tol_val: float, tol_mode: str,
+    k_scan: int = 0,
 ):
     """Sharded IVF scan with lists partitioned over ('dcn', 'lib').
 
@@ -263,6 +295,7 @@ def _multislice_ivf_impl(
             charge=charge,
             tol_val=tol_val,
             tol_mode=tol_mode,
+            k_scan=k_scan,
             list_axes=("dcn", "lib"),
             list_axis_sizes=(
                 mesh.shape["dcn"], mesh.shape["lib"]
@@ -347,6 +380,7 @@ def multislice_ivf_search(
         ),
         num_probe, k, n_lists // n_shards,
         float(charge), float(tol_val), tol_mode,
+        getattr(index, "redundancy", 1) * k,
     )
     return np.asarray(ids)[:b], np.asarray(scores)[:b]
 

@@ -67,17 +67,27 @@ class _ChargeLibrary:
     def n_spectra(self) -> int:
         return len(self.rows)
 
-    def device_arrays(self):
-        """Library peak blocks resident on the default device (cached)."""
+    def device_arrays(self, mesh=None):
+        """Library peak blocks resident on the default device, or
+        replicated over `mesh` so dp-sharded rescoring runs SPMD
+        (cached either way; the engine passes one mesh for its life)."""
         import jax.numpy as jnp
 
         if self._device is None:
-            self._device = (
+            arrays = (
                 jnp.asarray(self.mz),
                 jnp.asarray(self.intensity),
                 jnp.asarray(self.ann_charge),
                 jnp.asarray(self.precursor_mz, jnp.float32),
             )
+            if mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                arrays = jax.device_put(
+                    arrays, NamedSharding(mesh, PartitionSpec())
+                )
+            self._device = arrays
         return self._device
 
 
@@ -143,11 +153,15 @@ class SpectralLibrary:
 
     @staticmethod
     def _make_library_mesh():
-        """A (dp=1, lib=n) device mesh when sharding is requested.
+        """A (dp, lib) device mesh when sharding is requested.
 
         --num_shards > 1 shards the per-charge IVF lists over that many
-        devices; 0 (the default) uses every available device; on a
-        single-device host the engine stays unsharded.
+        devices; 0 (the default) uses every available device with dp=1;
+        on a single-device host the engine stays unsharded.  When
+        --num_shards leaves devices over (e.g. 4 shards on a v5e-8), the
+        remainder becomes the data-parallel 'dp' axis: query batches
+        split across replicas through vectorize -> select -> rescore
+        (SURVEY.md §2.3 data-parallel replicas).
         """
         import jax
 
@@ -158,7 +172,7 @@ class SpectralLibrary:
             return None
         if n == 0:
             n = n_avail
-        if n <= 1:
+        if n_avail <= 1:
             return None
         if n > n_avail:
             logger.warning(
@@ -166,10 +180,13 @@ class SpectralLibrary:
                 n, n_avail,
             )
             return None
+        dp = n_avail // n if n_avail % n == 0 else 1
         from ann_solo_tpu.parallel.mesh import make_mesh
 
-        logger.info("Sharding library over %d devices", n)
-        return make_mesh(n, dp_size=1)
+        logger.info(
+            "Sharding library over %d devices (dp=%d replicas)", n, dp
+        )
+        return make_mesh(n * dp, dp_size=dp)
 
     # ------------------------------------------------------------------ #
     # Library access
@@ -196,8 +213,13 @@ class SpectralLibrary:
                 index_dtype = str(config.index_dtype)
             except (KeyError, AttributeError):
                 index_dtype = "bf16"
+            try:
+                redundancy = int(config.ivf_redundancy)
+            except (KeyError, AttributeError):
+                redundancy = 2
             filename = ivf_index_filename(
-                self._filename, config_hash, charge, index_dtype
+                self._filename, config_hash, charge, index_dtype,
+                redundancy,
             )
             index = IvfIndex.load_or_build(filename, lib, config)
             if self._mesh is not None:
@@ -433,6 +455,28 @@ class SpectralLibrary:
                 num_candidates=int(num_candidates_per_query[i]),
             )
 
+    def _lib_device(self, lib):
+        """Library peak blocks for rescoring: mesh-replicated when query
+        data parallelism is on (dp > 1), default-device otherwise."""
+        dp = self._mesh.shape["dp"] if self._mesh is not None else 1
+        return lib.device_arrays(self._mesh if dp > 1 else None)
+
+    def _dp_put(self, x, n_trailing: int, dtype=None):
+        """Upload `x` sharded over the 'dp' mesh axis (dp > 1), else to
+        the default device.  Leading dim must divide dp (callers pad to
+        power-of-two buckets)."""
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype)
+        dp = self._mesh.shape["dp"] if self._mesh is not None else 1
+        if dp <= 1:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("dp", *([None] * n_trailing))
+        return jax.device_put(x, NamedSharding(self._mesh, spec))
+
     def _ann_candidates(
         self, batch, q_mz, q_int, lib, charge, tol_val, tol_mode
     ):
@@ -448,17 +492,53 @@ class SpectralLibrary:
         n_peaks = np.asarray(
             [min(s.n_peaks, q_mz.shape[1]) for s in batch], np.int32
         )
-        # Vectors stay device-resident: the index consumes them directly
-        # (host round-trips through the tunnel cost ~10-20 ms/MB).
-        vectors = vectorize_batch(
-            vparams,
-            vparams.device_tables(),
-            q_mz,
-            q_int,
-            n_peaks,
-        )
+        tables = vparams.device_tables()
+        b = q_mz.shape[0]
+        dp = self._mesh.shape["dp"] if self._mesh is not None else 1
+        if dp > 1:
+            # Query data parallelism: the batch splits over the 'dp'
+            # mesh axis through vectorize -> select -> rescore.
+            import jax
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            b_pad = -(-b // dp) * dp
+            pad = b_pad - b
+
+            def shard(x, spec):
+                x = np.pad(
+                    np.asarray(x), [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                )
+                return jax.device_put(
+                    jnp.asarray(x), NamedSharding(self._mesh, spec)
+                )
+
+            tables = jax.device_put(
+                tables, NamedSharding(self._mesh, P())
+            )
+            vectors = vectorize_batch(
+                vparams, tables,
+                shard(q_mz, P("dp", None)),
+                shard(q_int, P("dp", None)),
+                shard(n_peaks, P("dp")),
+            )[:b]
+        else:
+            # Vectors stay device-resident: the index consumes them
+            # directly (host round trips cost ~10-20 ms/MB + latency).
+            vectors = vectorize_batch(
+                vparams, tables, q_mz, q_int, n_peaks
+            )
         index = self._ann_indexes[charge]
         q_prec = np.asarray([s.precursor_mz for s in batch], np.float32)
+        if hasattr(index, "search_device"):
+            # Device-resident candidates: the rescorer consumes them
+            # without the (B, C) matrix ever crossing the tunnel.
+            ids, _ = index.search_device(
+                vectors, self._num_candidates,
+                q_prec=q_prec, charge=float(charge),
+                tol_val=float(tol_val), tol_mode=tol_mode,
+            )
+            return ids
         return index.search(
             vectors, self._num_candidates,
             q_prec=q_prec, charge=float(charge),
@@ -477,15 +557,17 @@ class SpectralLibrary:
         allow_shift = bool(config.allow_peak_shifts)
         num_shifts = charge + 1 if allow_shift else 1
         frag_tol = float(config.fragment_mz_tolerance)
-        lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d = lib.device_arrays()
+        lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d = self._lib_device(lib)
         b = q_mz.shape[0]
         # Queries per device program: bounds gather memory at 1024, and
         # small batches pad up to power-of-two buckets so distinct batch
-        # sizes never compile fresh programs.
+        # sizes never compile fresh programs.  `cand_ids` may be a device
+        # array (the ANN fast path) -- it is sliced/padded with jnp so it
+        # never round-trips through the host.
         sub = 64
         while sub < min(b, 1024):
             sub *= 2
-        cand_ids = np.asarray(cand_ids)
+        cand_ids = jnp.asarray(cand_ids, jnp.int32)
         outs = []
         for start in range(0, b, sub):
             stop = min(start + sub, b)
@@ -500,14 +582,12 @@ class SpectralLibrary:
                 qi = np.concatenate([qi, np.zeros((pad,) + qi.shape[1:],
                                                   qi.dtype)])
                 qp = np.concatenate([qp, np.zeros(pad, qp.dtype)])
-                ci = np.concatenate(
-                    [ci, np.full((pad, ci.shape[1]), -1, ci.dtype)]
-                )
+                ci = jnp.pad(ci, ((0, pad), (0, 0)), constant_values=-1)
             out = rescore_candidate_matrix(
-                jnp.asarray(qm), jnp.asarray(qi),
-                jnp.asarray(qp, jnp.float32),
+                self._dp_put(qm, 1), self._dp_put(qi, 1),
+                self._dp_put(qp.astype(np.float32), 0),
                 lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
-                jnp.asarray(ci, jnp.int32),
+                self._dp_put(ci, 1, dtype=jnp.int32),
                 frag_tol, num_shifts, allow_shift,
                 use_pallas_default(),
             )
@@ -536,7 +616,7 @@ class SpectralLibrary:
         allow_shift = bool(config.allow_peak_shifts)
         num_shifts = charge + 1 if allow_shift else 1
         frag_tol = float(config.fragment_mz_tolerance)
-        lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d = lib.device_arrays()
+        lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d = self._lib_device(lib)
         use_pallas = use_pallas_default()
         best_idx = np.full(b, -1, np.int64)
         best_score = np.full(b, -np.inf, np.float64)
@@ -560,10 +640,11 @@ class SpectralLibrary:
             cand = lo[rows][:, None] + np.arange(c, dtype=np.int64)[None]
             cand = np.where(cand < hi[rows][:, None], cand, -1)
             idx_g, score_g, _ = rescore_candidate_matrix(
-                jnp.asarray(q_mz[rows]), jnp.asarray(q_int[rows]),
-                jnp.asarray(q_prec[rows], jnp.float32),
+                self._dp_put(q_mz[rows], 1),
+                self._dp_put(q_int[rows], 1),
+                self._dp_put(q_prec[rows].astype(np.float32), 0),
                 lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
-                cand.astype(np.int32),
+                self._dp_put(cand.astype(np.int32), 1),
                 frag_tol, num_shifts, allow_shift, use_pallas,
             )
             best_idx[rows[:n_rows]] = idx_g[:n_rows]

@@ -226,13 +226,65 @@ def test_ivf_balanced_lists_bounded_memory():
         ]
     )
     vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
-    index = IvfIndex.build(vectors, IvfConfig(num_list=16, num_probe=8))
+    index = IvfIndex.build(
+        vectors, IvfConfig(num_list=16, num_probe=8), redundancy=1
+    )
     l, cap, d = index.padded_vectors.shape
     assert cap <= max(8, int(np.ceil(1.5 * 2000 / 16 / 8) * 8))
     # Every vector is somewhere in the index (spill, never drop).
     ids = np.asarray(index.padded_ids)
     placed = np.sort(ids[ids >= 0])
     np.testing.assert_array_equal(placed, np.arange(2000))
+
+
+def test_ivf_redundant_assignment():
+    """x2 redundant storage (the default): every vector appears in 1-2
+    DISTINCT lists, capacity stays ~1.5 * R * mean, and search returns
+    deduplicated ids identical to brute force under full probing."""
+    rng = np.random.default_rng(29)
+    vectors = _clustered_vectors(rng, n=3000, d=32, n_clusters=16)
+    index = IvfIndex.build(
+        vectors, IvfConfig(num_list=16, num_probe=8), redundancy=2,
+        storage_dtype=np.float32,
+    )
+    assert index.redundancy == 2
+    l, cap, d = index.padded_vectors.shape
+    assert cap <= max(8, int(np.ceil(1.5 * 2 * 3000 / 16 / 8) * 8))
+    ids = np.asarray(index.padded_ids)
+    counts = np.bincount(ids[ids >= 0], minlength=3000)
+    assert counts.min() >= 1  # primary copy always placed
+    assert counts.max() <= 2
+    assert (counts == 2).mean() > 0.9  # secondary copies mostly placed
+    # Copies live in distinct lists.
+    lists_of = {}
+    for list_id in range(l):
+        for row in ids[list_id][ids[list_id] >= 0]:
+            lists_of.setdefault(int(row), []).append(list_id)
+    assert all(len(set(v)) == len(v) for v in lists_of.values())
+    # Full probing: dedup must leave exactly the brute-force top-k.
+    queries = vectors[rng.choice(3000, 100, replace=False)]
+    queries += 0.05 * rng.normal(size=queries.shape).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    k = 24
+    exact = bruteforce_search(vectors, queries, k)
+    got = index.search(queries, k, num_probe=16)
+    for i in range(len(queries)):
+        row = got[i][got[i] >= 0]
+        assert len(np.unique(row)) == len(row)  # no duplicate ids
+        assert len(set(exact[i]) & set(row)) == k
+    # Partial probing with redundancy beats single assignment on the
+    # same probe budget (the whole point of x2 storage).
+    single = IvfIndex.build(
+        vectors, IvfConfig(num_list=16, num_probe=8), redundancy=1,
+        storage_dtype=np.float32,
+    )
+    def recall(ix):
+        got = ix.search(queries, k, num_probe=3)
+        return np.mean([
+            len(set(exact[i]) & set(got[i][got[i] >= 0])) / k
+            for i in range(len(queries))
+        ])
+    assert recall(index) >= recall(single)
 
 
 def test_ivf_persistence(tmp_path):
