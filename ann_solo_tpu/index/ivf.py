@@ -206,6 +206,90 @@ def _pack_prec(prec, ids_flat, num_list: int, cap: int):
     )
 
 
+def plan_assignments(choices, num_list: int, cap: int, r_eff: int):
+    """Balanced (optionally redundant) list placement for every vector.
+
+    Runs `r_eff` rounds of the sort-based balanced fill, masking each
+    round's chosen list out of the ranking so later copies land in
+    distinct lists.  Primary copies that overflow every ranked choice
+    fall back to any free slot (host pass, rare); secondary copies are
+    best-effort.  Returns (flat_slot (R*N,), row_ids (R*N,), spilled) --
+    shared verbatim by the single-device and sharded builds so both
+    produce identical placements from identical centroids.
+    """
+    n = choices.shape[0]
+    primary = np.asarray(choices[:, 0])
+    used = jnp.zeros((num_list,), jnp.int32)
+    all_slots = []
+    spilled = 0
+    for r in range(r_eff):
+        placed_list, placed_pos, used = _fill_lists(
+            jnp.asarray(choices), used, num_list, cap
+        )
+        placed_list = np.array(placed_list)  # writable host copies
+        placed_pos = np.array(placed_pos)
+        unplaced = np.nonzero(placed_list < 0)[0]
+        if len(unplaced) and r == 0:
+            # All A choices full: place into any list with free
+            # slots (primary copies must always land somewhere).
+            used_np = np.asarray(used).copy()
+            order = np.argsort(used_np)
+            free_slots = []
+            for list_id in order:
+                free_slots.extend(
+                    (list_id, pos)
+                    for pos in range(used_np[list_id], cap)
+                )
+                if len(free_slots) >= len(unplaced):
+                    break
+            if len(free_slots) < len(unplaced):
+                raise RuntimeError(
+                    "IVF capacity exhausted; raise _FILL_SLACK"
+                )
+            for row, (list_id, pos) in zip(unplaced, free_slots):
+                placed_list[row] = list_id
+                placed_pos[row] = pos
+                used_np[list_id] += 1
+            used = jnp.asarray(used_np)
+            logger.debug(
+                "IVF spill fallback placed %d vectors", len(unplaced)
+            )
+        elif len(unplaced):
+            # Secondary copies are best-effort redundancy.
+            logger.debug(
+                "IVF redundancy round %d dropped %d copies",
+                r, len(unplaced),
+            )
+        if r == 0:
+            spilled = int(np.sum(placed_list != primary))
+        all_slots.append(
+            np.where(
+                placed_list >= 0,
+                placed_list.astype(np.int64) * cap + placed_pos,
+                -1,
+            )
+        )
+        if r + 1 < r_eff:
+            # Mask this round's placements out of the choice ranking
+            # so the next copy lands in a different list.
+            choices = jnp.where(
+                jnp.asarray(choices) == jnp.asarray(placed_list)[:, None],
+                num_list,
+                choices,
+            )
+    flat_slot = np.concatenate(all_slots)
+    row_ids = np.tile(np.arange(n, dtype=np.int32), r_eff)
+    return flat_slot, row_ids, spilled
+
+
+def ivf_build_params(n: int, num_list: int, redundancy: int):
+    """(r_eff, cap, n_choices) shared by every build path."""
+    r_eff = max(1, min(redundancy, num_list))
+    cap = max(8, int(-(-_FILL_SLACK * r_eff * n / num_list // 8) * 8))
+    n_choices = min(max(_N_CHOICES, r_eff + 2), num_list)
+    return r_eff, cap, n_choices
+
+
 # --------------------------------------------------------------------- #
 # Search
 
@@ -548,9 +632,12 @@ class IvfIndex:
         seed: int = 42,
         storage_dtype=ml_dtypes.bfloat16,
         redundancy: Optional[int] = None,
+        centroids=None,
     ) -> "IvfIndex":
         """Train the quantizer and pack balanced lists (the reference's
-        FAISS train/add, spectral_library.py:163-181).
+        FAISS train/add, spectral_library.py:163-181).  Passing
+        ``centroids`` skips training (build-identity tests against the
+        sharded build).
 
         Everything heavy runs on device: subsampled k-means training,
         blocked top-A centroid assignment, sort-based balanced list
@@ -572,85 +659,24 @@ class IvfIndex:
                 redundancy = int(config.ivf_redundancy)
             except (KeyError, AttributeError):
                 redundancy = 2
-        r_eff = max(1, min(redundancy, num_list))
         # f32 or bf16 source (bf16 halves HBM during multi-million-row
         # builds; all matmuls accumulate f32 either way).
         vectors_d = jnp.asarray(vectors)
         n, d = vectors_d.shape
-        cap = max(
-            8, int(-(-_FILL_SLACK * r_eff * n / num_list // 8) * 8)
-        )
+        r_eff, cap, n_choices = ivf_build_params(n, num_list, redundancy)
         logger.info(
             "Train IVF index: %d vectors, %d lists (cap %d, x%d)",
             n, num_list, cap, r_eff,
         )
-        centroids, _ = spherical_kmeans(
-            vectors_d, num_list, seed=seed,
-            max_points_per_centroid=_TRAIN_POINTS_PER_CENTROID,
-        )
-        n_choices = min(max(_N_CHOICES, r_eff + 2), num_list)
+        if centroids is None:
+            centroids, _ = spherical_kmeans(
+                vectors_d, num_list, seed=seed,
+                max_points_per_centroid=_TRAIN_POINTS_PER_CENTROID,
+            )
         choices = assign_topk_blocked(vectors_d, centroids, n_choices)
-        primary = np.asarray(choices[:, 0])
-        used = jnp.zeros((num_list,), jnp.int32)
-        all_slots = []
-        spilled = 0
-        for r in range(r_eff):
-            placed_list, placed_pos, used = _fill_lists(
-                choices, used, num_list, cap
-            )
-            placed_list = np.array(placed_list)  # writable host copies
-            placed_pos = np.array(placed_pos)
-            unplaced = np.nonzero(placed_list < 0)[0]
-            if len(unplaced) and r == 0:
-                # All A choices full: place into any list with free
-                # slots (primary copies must always land somewhere).
-                used_np = np.asarray(used).copy()
-                order = np.argsort(used_np)
-                free_slots = []
-                for list_id in order:
-                    free_slots.extend(
-                        (list_id, pos)
-                        for pos in range(used_np[list_id], cap)
-                    )
-                    if len(free_slots) >= len(unplaced):
-                        break
-                if len(free_slots) < len(unplaced):
-                    raise RuntimeError(
-                        "IVF capacity exhausted; raise _FILL_SLACK"
-                    )
-                for row, (list_id, pos) in zip(unplaced, free_slots):
-                    placed_list[row] = list_id
-                    placed_pos[row] = pos
-                    used_np[list_id] += 1
-                used = jnp.asarray(used_np)
-                logger.debug(
-                    "IVF spill fallback placed %d vectors", len(unplaced)
-                )
-            elif len(unplaced):
-                # Secondary copies are best-effort redundancy.
-                logger.debug(
-                    "IVF redundancy round %d dropped %d copies",
-                    r, len(unplaced),
-                )
-            if r == 0:
-                spilled = int(np.sum(placed_list != primary))
-            all_slots.append(
-                np.where(
-                    placed_list >= 0,
-                    placed_list.astype(np.int64) * cap + placed_pos,
-                    -1,
-                )
-            )
-            if r + 1 < r_eff:
-                # Mask this round's placements out of the choice ranking
-                # so the next copy lands in a different list.
-                choices = jnp.where(
-                    choices == jnp.asarray(placed_list)[:, None],
-                    num_list,
-                    choices,
-                )
-        flat_slot = np.concatenate(all_slots)
-        row_ids = np.tile(np.arange(n, dtype=np.int32), r_eff)
+        flat_slot, row_ids, spilled = plan_assignments(
+            choices, num_list, cap, r_eff
+        )
         ids_flat, padded_vectors, padded_scales = _pack_lists(
             vectors_d, jnp.asarray(flat_slot), jnp.asarray(row_ids),
             num_list, cap, jnp.dtype(storage_dtype),

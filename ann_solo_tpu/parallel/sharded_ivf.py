@@ -13,6 +13,7 @@ Query-side data parallelism rides the 'dp' axis unchanged.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Tuple
 
@@ -27,6 +28,8 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ann_solo_tpu.index.ivf import _dedup_topk, _pad_topk
+
+logger = logging.getLogger(__name__)
 
 
 def _local_ivf_scan(
@@ -160,6 +163,47 @@ def _sharded_ivf_impl(
     )
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def _sharded_kmeans_fit(mesh, vectors_sharded, init_centroids, n_iter: int):
+    """Spherical k-means with training rows sharded over the whole mesh:
+    every update is shard-local segment sums + one psum (sharded.py);
+    centroids stay replicated.  One jitted program for all iterations."""
+    from ann_solo_tpu.parallel.sharded import sharded_kmeans_step
+
+    def body(_, centroids):
+        return sharded_kmeans_step(mesh, vectors_sharded, centroids)
+
+    return jax.lax.fori_loop(0, n_iter, body, init_centroids)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _place_lib_blocks(mesh: Mesh, blocks, spec: P):
+    """Assemble a global array sharded over 'lib' from per-shard host
+    blocks, placing each block straight onto its devices (dp replicas
+    get copies) -- the full array never exists on one device or as one
+    host buffer beyond the input list."""
+    global_shape = (
+        len(blocks) * blocks[0].shape[0],
+    ) + blocks[0].shape[1:]
+    sharding = NamedSharding(mesh, spec)
+    buffers = []
+    devices = mesh.devices  # (dp, lib) grid
+    for i_dp in range(devices.shape[0]):
+        for i_lib in range(devices.shape[1]):
+            buffers.append(
+                jax.device_put(blocks[i_lib], devices[i_dp, i_lib])
+            )
+    return jax.make_array_from_single_device_arrays(
+        global_shape, sharding, buffers
+    )
+
+
 class ShardedIvfIndex:
     """A host IvfIndex with its blocks placed once across the mesh."""
 
@@ -193,6 +237,207 @@ class ShardedIvfIndex:
         self.centroids_s = jax.device_put(
             jnp.asarray(index.centroids, jnp.float32),
             NamedSharding(mesh, P()),
+        )
+
+    @classmethod
+    def build_sharded(
+        cls,
+        mesh: Mesh,
+        vectors: np.ndarray,  # (N, D) host rows (RAM/stream-bound)
+        config,
+        precursor_mz=None,
+        seed: int = 42,
+        storage_dtype=None,
+        redundancy=None,
+        centroids=None,
+        n_iter: int = 25,
+    ) -> "ShardedIvfIndex":
+        """Build an index that is BORN sharded over the 'lib' mesh axis
+        (BASELINE.md north star: 100M+ vectors sharded over ICI "for
+        both index build and query" -- a 100M x 800 bf16 block is
+        ~160 GB and can never exist on one chip even transiently).
+
+        * k-means trains on a FAISS-subsampled row set sharded over the
+          WHOLE mesh: per-shard segment sums + one psum per iteration
+          (`_sharded_kmeans_fit`); centroids replicate (L x D is small).
+        * top-A assignment runs in fixed row blocks on the default
+          device; only the (N, A) int32 choices ever accumulate.
+        * balanced (redundant) placement reuses `plan_assignments` --
+          byte-identical placement to the single-device build given the
+          same centroids (tests/test_sharded_build.py pins this).
+        * each shard's (L_l, cap, D) block is packed separately and
+          placed straight onto its devices: no device holds more than
+          one shard block at any point.
+
+        The host feeds rows (vectors live in host RAM or stream from
+        disk); device memory is bounded by one shard block + one row
+        chunk.  Reference analog: FAISS train/add,
+        spectral_library.py:163-181 (single-GPU only).
+        """
+        import ml_dtypes
+
+        from ann_solo_tpu.index.ivf import (
+            _pack_lists,
+            ivf_build_params,
+            plan_assignments,
+        )
+        from ann_solo_tpu.ops.kmeans import assign_topk_blocked
+
+        if storage_dtype is None:
+            storage_dtype = ml_dtypes.bfloat16
+        num_list = int(config.num_list)
+        if redundancy is None:
+            try:
+                redundancy = int(config.ivf_redundancy)
+            except (KeyError, AttributeError):
+                redundancy = 2
+        lib_shards = mesh.shape["lib"]
+        if num_list % lib_shards != 0:
+            raise ValueError(
+                f"num_list={num_list} must divide lib shards={lib_shards}"
+            )
+        vectors = np.asarray(vectors)
+        n, d = vectors.shape
+        r_eff, cap, n_choices = ivf_build_params(n, num_list, redundancy)
+        if centroids is None:
+            centroids = cls._train_centroids_sharded(
+                mesh, vectors, num_list, seed, n_iter
+            )
+        centroids = np.asarray(centroids, np.float32)
+
+        # Assignment in fixed row blocks (bounded device memory; only
+        # the (N, A) int32 choices accumulate on the host).
+        centroids_d = jnp.asarray(centroids)
+        block = 1 << 16
+        choices = np.concatenate([
+            np.asarray(assign_topk_blocked(
+                jnp.asarray(vectors[start : start + block]),
+                centroids_d, n_choices,
+            ))
+            for start in range(0, n, block)
+        ])
+        flat_slot, row_ids, spilled = plan_assignments(
+            choices, num_list, cap, r_eff
+        )
+        logger.debug(
+            "Sharded IVF build: %d lists (cap %d, x%d), %d spilled",
+            num_list, cap, r_eff, spilled,
+        )
+
+        lists_per_shard = num_list // lib_shards
+        slot_span = lists_per_shard * cap
+        prec = (
+            np.asarray(precursor_mz, np.float32)
+            if precursor_mz is not None else None
+        )
+        vec_blocks, ids_blocks, prec_blocks, scale_blocks = [], [], [], []
+        for s_idx in range(lib_shards):
+            lo = s_idx * slot_span
+            m = (flat_slot >= lo) & (flat_slot < lo + slot_span)
+            local_slot = flat_slot[m] - lo
+            local_rows = row_ids[m]
+            uniq, inv = np.unique(local_rows, return_inverse=True)
+            # Pad entry/row counts to power-of-two buckets: one compiled
+            # _pack_lists variant per bucket, not per shard.
+            m_pad = _next_pow2(max(1, len(local_slot)))
+            local_slot = np.concatenate(
+                [local_slot, np.full(m_pad - len(local_slot), -1)]
+            )
+            inv = np.concatenate(
+                [inv, np.zeros(m_pad - len(inv), inv.dtype)]
+            ).astype(np.int32)
+            u_pad = _next_pow2(max(1, len(uniq)))
+            sub = np.zeros((u_pad, d), np.float32)
+            sub[: len(uniq)] = vectors[uniq]
+            ids_flat, packed, scales = _pack_lists(
+                jnp.asarray(sub), jnp.asarray(local_slot),
+                jnp.asarray(inv), lists_per_shard, cap,
+                jnp.dtype(storage_dtype),
+            )
+            ids_flat = np.asarray(ids_flat)
+            gids = np.where(
+                ids_flat >= 0,
+                uniq[np.clip(ids_flat, 0, len(uniq) - 1)],
+                -1,
+            ).astype(np.int32)
+            pr = (
+                np.where(
+                    gids >= 0, prec[np.clip(gids, 0, n - 1)], 0.0
+                ).astype(np.float32)
+                if prec is not None
+                else np.zeros_like(gids, np.float32)
+            )
+            vec_blocks.append(np.asarray(packed))
+            ids_blocks.append(gids.reshape(lists_per_shard, cap))
+            prec_blocks.append(pr.reshape(lists_per_shard, cap))
+            scale_blocks.append(
+                np.asarray(scales).reshape(lists_per_shard, cap)
+            )
+
+        index = cls.__new__(cls)
+        index.mesh = mesh
+        index.num_probe = int(config.num_probe)
+        index.redundancy = r_eff
+        index.lists_per_shard = lists_per_shard
+        index.vectors_s = _place_lib_blocks(
+            mesh, vec_blocks, P("lib", None, None)
+        )
+        index.ids_s = _place_lib_blocks(mesh, ids_blocks, P("lib", None))
+        index.prec_s = _place_lib_blocks(mesh, prec_blocks, P("lib", None))
+        index.scales_s = _place_lib_blocks(
+            mesh, scale_blocks, P("lib", None)
+        )
+        index.centroids_s = jax.device_put(
+            jnp.asarray(centroids), NamedSharding(mesh, P())
+        )
+        return index
+
+    @staticmethod
+    def _train_centroids_sharded(
+        mesh: Mesh, vectors: np.ndarray, num_list: int, seed: int,
+        n_iter: int,
+    ) -> np.ndarray:
+        """Sharded spherical k-means on a FAISS-style subsample."""
+        from ann_solo_tpu.index.ivf import _TRAIN_POINTS_PER_CENTROID
+
+        n = len(vectors)
+        cap_train = num_list * _TRAIN_POINTS_PER_CENTROID
+        rng = np.random.RandomState(seed + 1)
+        if n > cap_train:
+            rows = np.sort(rng.choice(n, size=cap_train, replace=False))
+            train = vectors[rows]
+        else:
+            train = vectors
+        rng_init = np.random.RandomState(seed)
+        init_rows = rng_init.choice(
+            len(train), size=min(num_list, len(train)), replace=False
+        )
+        init = np.asarray(train[init_rows], np.float32)
+        if len(init) < num_list:
+            reps = -(-num_list // len(init))
+            init = np.tile(init, (reps, 1))[:num_list]
+            init = init + rng_init.normal(0, 1e-4, init.shape).astype(
+                np.float32
+            )
+        init /= np.maximum(
+            np.linalg.norm(init, axis=1, keepdims=True), 1e-30
+        )
+        # Zero-pad rows to the mesh size (zero rows carry weight 0).
+        n_pad = -(-len(train) // mesh.size) * mesh.size
+        if n_pad != len(train):
+            train = np.concatenate(
+                [train, np.zeros((n_pad - len(train), train.shape[1]),
+                                 train.dtype)]
+            )
+        train_s = jax.device_put(
+            jnp.asarray(train, jnp.float32),
+            NamedSharding(mesh, P(("dp", "lib"), None)),
+        )
+        init_s = jax.device_put(
+            jnp.asarray(init), NamedSharding(mesh, P())
+        )
+        return np.asarray(
+            _sharded_kmeans_fit(mesh, train_s, init_s, n_iter)
         )
 
     def search(

@@ -1,0 +1,128 @@
+"""Sharded index BUILD: an index born sharded over the (dp, lib) mesh
+must equal the single-device build (BASELINE.md north star: 100M+
+vectors sharded over ICI "for both index build and query")."""
+
+import numpy as np
+import pytest
+
+from ann_solo_tpu.index.ivf import IvfIndex, bruteforce_search
+from ann_solo_tpu.parallel.mesh import make_mesh
+from ann_solo_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
+
+class Cfg:
+    def __init__(self, num_list, num_probe, redundancy=2):
+        self.num_list = num_list
+        self.num_probe = num_probe
+        self.ivf_redundancy = redundancy
+
+    def __getitem__(self, key):
+        return getattr(self, key)
+
+
+def _vectors(rng, n=4000, d=64, n_clusters=24):
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    v = centers[rng.integers(0, n_clusters, n)]
+    v = v + 0.25 * rng.normal(size=(n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, dp_size=2)  # (dp=2, lib=4)
+
+
+def test_sharded_build_matches_single_device(mesh):
+    """Identical centroids => identical placement and storage: the
+    sharded build must reproduce the single-device (L, cap) id block
+    and list contents exactly (plan_assignments is shared verbatim)."""
+    rng = np.random.default_rng(17)
+    vectors = _vectors(rng)
+    prec = rng.uniform(400, 1200, len(vectors)).astype(np.float32)
+    cfg = Cfg(num_list=16, num_probe=8)
+    single = IvfIndex.build(
+        vectors, cfg, precursor_mz=prec, storage_dtype=np.float32
+    )
+    sharded = ShardedIvfIndex.build_sharded(
+        mesh, vectors, cfg, precursor_mz=prec,
+        storage_dtype=np.float32, centroids=single.centroids,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.ids_s), np.asarray(single.padded_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vectors_s), np.asarray(single.padded_vectors)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.prec_s), np.asarray(single.padded_prec)
+    )
+    assert sharded.redundancy == single.redundancy == 2
+
+    # And the search side agrees end to end.
+    queries = vectors[rng.choice(len(vectors), 64, replace=False)]
+    queries += 0.05 * rng.normal(size=queries.shape).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    ids_single = single.search(queries, 16, num_probe=16)
+    ids_sharded = sharded.search(queries, 16, num_probe=16)
+    np.testing.assert_array_equal(ids_single, ids_sharded)
+
+
+def test_sharded_kmeans_trains_comparable_quantizer(mesh):
+    """Fully sharded training (psum-reduced k-means) must produce a
+    quantizer whose recall matches the single-device build's within a
+    small margin (float reduction order differs, exact equality is not
+    expected)."""
+    rng = np.random.default_rng(23)
+    vectors = _vectors(rng, n=6000)
+    cfg = Cfg(num_list=16, num_probe=6)
+    k = 16
+    queries = vectors[rng.choice(len(vectors), 200, replace=False)]
+    queries += 0.05 * rng.normal(size=queries.shape).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    exact = bruteforce_search(vectors, queries, k)
+
+    def recall(ix):
+        got = ix.search(queries, k)
+        return np.mean([
+            len(set(exact[i]) & set(got[i][got[i] >= 0])) / k
+            for i in range(len(queries))
+        ])
+
+    single = IvfIndex.build(vectors, cfg, storage_dtype=np.float32)
+    sharded = ShardedIvfIndex.build_sharded(
+        mesh, vectors, cfg, storage_dtype=np.float32
+    )
+    r_single, r_sharded = recall(single), recall(sharded)
+    assert r_sharded > 0.6, r_sharded
+    assert r_sharded >= r_single - 0.1, (r_single, r_sharded)
+
+
+def test_sharded_build_int8(mesh):
+    """SQ8 storage (the 100M-scale memory mode) through the sharded
+    build: per-row scales survive the per-shard packing."""
+    rng = np.random.default_rng(31)
+    vectors = _vectors(rng, n=2000)
+    cfg = Cfg(num_list=8, num_probe=8, redundancy=1)
+    single = IvfIndex.build(
+        vectors, cfg, storage_dtype=np.int8, redundancy=1
+    )
+    sharded = ShardedIvfIndex.build_sharded(
+        mesh, vectors, cfg, storage_dtype=np.int8, redundancy=1,
+        centroids=single.centroids,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.ids_s), np.asarray(single.padded_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vectors_s), np.asarray(single.padded_vectors)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.scales_s), np.asarray(single.padded_scales),
+        rtol=1e-6,
+    )
+    queries = vectors[:32]
+    np.testing.assert_array_equal(
+        single.search(queries, 8), sharded.search(queries, 8)
+    )
