@@ -49,6 +49,7 @@ def _local_ivf_scan(
     list_axes: Tuple[str, ...] = ("lib",),
     list_axis_sizes: Tuple[int, ...] = (1,),
     k_scan: int = 0,  # pre-dedup width for redundant storage (0 = k)
+    padded_prev=None,  # (L_l, cap, R-1) lower-rank copy lists (global ids)
 ):
     l_total = centroids.shape[0]
     b = queries.shape[0]
@@ -99,11 +100,35 @@ def _local_ivf_scan(
     )
     # With redundant storage (index.redundancy > 1) a vector's copies may
     # live on different shards (or the same one): keep k_scan = R * k
-    # entries through the merge, then dedup ids globally.
+    # entries through the local selection, then dedup ids.
     k_scan = max(k_scan, k)
     k_local = min(k_scan, l_l * p)
     local_scores, pos = jax.lax.top_k(scores, k_local)
     local_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+    if padded_prev is not None and k_local > k:
+        # Min-rank-copy dedup on the LOCAL selection (index/ivf.
+        # pack_prev_lists): an entry is dropped when a lower-rank copy
+        # of its id lives in a probed list -- on ANY shard (the table
+        # stores global list ids and `probed` is global), so exactly one
+        # copy survives the cross-shard merge and no post-merge id dedup
+        # is needed.
+        prev_flat = padded_prev.reshape(l_l * p, -1)  # (L_l*P, R-1)
+        keep = local_scores > -jnp.inf
+        for j in range(prev_flat.shape[-1]):
+            pj = jnp.take(prev_flat[:, j], pos.reshape(-1)).reshape(
+                b, k_local
+            )
+            pj_probed = jnp.take_along_axis(
+                probed, jnp.clip(pj, 0, l_total - 1), axis=1
+            )
+            keep &= ~((pj >= 0) & pj_probed)
+        sc = jnp.where(keep, local_scores, -jnp.inf)
+        k_keep = min(k, k_local)
+        local_scores, pos2 = jax.lax.top_k(sc, k_keep)
+        local_ids = jnp.take_along_axis(local_ids, pos2, axis=1)
+        local_ids = jnp.where(local_scores > -jnp.inf, local_ids, -1)
+        k_local = k_keep
+        k_scan = k
     # Merge per-shard top-k over ICI.
     # O(k) merge: one all-gather per list axis (DCN leg last and tiny
     # on multi-slice meshes -- k entries per query per slice).
@@ -132,35 +157,47 @@ def _sharded_ivf_impl(
     num_probe: int, k: int, lists_per_shard: int,
     charge: float, tol_val: float, tol_mode: str,
     k_scan: int = 0,
+    padded_prev=None,
 ):
+    in_specs = [
+        P("dp", None),  # queries
+        P("dp"),  # query precursor m/z
+        P("lib", None, None),  # lists
+        P("lib", None),  # ids
+        P("lib", None),  # stored precursor m/z
+        P("lib", None),  # dequantization scales
+        P(None, None),  # centroids replicated
+    ]
+    args = [
+        queries, query_prec, padded_vectors, padded_ids, padded_prec,
+        padded_scales, centroids,
+    ]
+    body = partial(
+        _local_ivf_scan,
+        num_probe=num_probe,
+        k=k,
+        lists_per_shard=lists_per_shard,
+        charge=charge,
+        tol_val=tol_val,
+        tol_mode=tol_mode,
+        k_scan=k_scan,
+    )
+    if padded_prev is not None:
+        in_specs.append(P("lib", None, None))  # lower-rank copy lists
+        args.append(padded_prev)
+
+        def body_prev(q, qp, v, i, pr, sc, c, prev, _inner=body):
+            return _inner(q, qp, v, i, pr, sc, c, padded_prev=prev)
+
+        body = body_prev
     fn = shard_map(
-        partial(
-            _local_ivf_scan,
-            num_probe=num_probe,
-            k=k,
-            lists_per_shard=lists_per_shard,
-            charge=charge,
-            tol_val=tol_val,
-            tol_mode=tol_mode,
-            k_scan=k_scan,
-        ),
+        body,
         mesh=mesh,
-        in_specs=(
-            P("dp", None),  # queries
-            P("dp"),  # query precursor m/z
-            P("lib", None, None),  # lists
-            P("lib", None),  # ids
-            P("lib", None),  # stored precursor m/z
-            P("lib", None),  # dequantization scales
-            P(None, None),  # centroids replicated
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
     )
-    return fn(
-        queries, query_prec, padded_vectors, padded_ids, padded_prec,
-        padded_scales, centroids,
-    )
+    return fn(*args)
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -238,6 +275,15 @@ class ShardedIvfIndex:
             jnp.asarray(index.centroids, jnp.float32),
             NamedSharding(mesh, P()),
         )
+        prev = getattr(index, "padded_prev", None)
+        self.prev_s = (
+            jax.device_put(
+                jnp.asarray(prev),
+                NamedSharding(mesh, P("lib", None, None)),
+            )
+            if prev is not None
+            else None
+        )
 
     @classmethod
     def build_sharded(
@@ -279,6 +325,7 @@ class ShardedIvfIndex:
         from ann_solo_tpu.index.ivf import (
             _pack_lists,
             ivf_build_params,
+            pack_prev_lists,
             plan_assignments,
         )
         from ann_solo_tpu.ops.kmeans import assign_topk_blocked
@@ -316,8 +363,11 @@ class ShardedIvfIndex:
             ))
             for start in range(0, n, block)
         ])
-        flat_slot, row_ids, spilled = plan_assignments(
+        flat_slot, row_ids, spilled, round_lists = plan_assignments(
             choices, num_list, cap, r_eff
+        )
+        prev_global = pack_prev_lists(
+            flat_slot, round_lists, num_list, cap
         )
         logger.debug(
             "Sharded IVF build: %d lists (cap %d, x%d), %d spilled",
@@ -386,6 +436,21 @@ class ShardedIvfIndex:
         index.prec_s = _place_lib_blocks(mesh, prec_blocks, P("lib", None))
         index.scales_s = _place_lib_blocks(
             mesh, scale_blocks, P("lib", None)
+        )
+        index.prev_s = (
+            _place_lib_blocks(
+                mesh,
+                [
+                    prev_global[
+                        s_idx * lists_per_shard
+                        : (s_idx + 1) * lists_per_shard
+                    ]
+                    for s_idx in range(lib_shards)
+                ],
+                P("lib", None, None),
+            )
+            if prev_global is not None
+            else None
         )
         index.centroids_s = jax.device_put(
             jnp.asarray(centroids), NamedSharding(mesh, P())
@@ -514,6 +579,7 @@ class ShardedIvfIndex:
             num_probe, k, self.lists_per_shard,
             float(charge), float(tol_val), tol_mode,
             self.redundancy * k,
+            self.prev_s,
         )
         return ids[:b], scores[:b]
 
@@ -525,44 +591,56 @@ def _multislice_ivf_impl(
     num_probe: int, k: int, lists_per_shard: int,
     charge: float, tol_val: float, tol_mode: str,
     k_scan: int = 0,
+    padded_prev=None,
 ):
     """Sharded IVF scan with lists partitioned over ('dcn', 'lib').
 
     The within-slice merge rides ICI; the across-slice merge is one
     k-entry all-gather on DCN (BASELINE.md 100M+ north star; see
     mesh.make_multislice_mesh for the axis convention)."""
+    in_specs = [
+        P("dp", None),  # queries (replicated over dcn/lib)
+        P("dp"),
+        P(("dcn", "lib"), None, None),  # lists over slices x chips
+        P(("dcn", "lib"), None),
+        P(("dcn", "lib"), None),
+        P(("dcn", "lib"), None),  # dequantization scales
+        P(None, None),  # centroids replicated
+    ]
+    args = [
+        queries, query_prec, padded_vectors, padded_ids, padded_prec,
+        padded_scales, centroids,
+    ]
+    body = partial(
+        _local_ivf_scan,
+        num_probe=num_probe,
+        k=k,
+        lists_per_shard=lists_per_shard,
+        charge=charge,
+        tol_val=tol_val,
+        tol_mode=tol_mode,
+        k_scan=k_scan,
+        list_axes=("dcn", "lib"),
+        list_axis_sizes=(
+            mesh.shape["dcn"], mesh.shape["lib"]
+        ),
+    )
+    if padded_prev is not None:
+        in_specs.append(P(("dcn", "lib"), None, None))
+        args.append(padded_prev)
+
+        def body_prev(q, qp, v, i, pr, sc, c, prev, _inner=body):
+            return _inner(q, qp, v, i, pr, sc, c, padded_prev=prev)
+
+        body = body_prev
     fn = shard_map(
-        partial(
-            _local_ivf_scan,
-            num_probe=num_probe,
-            k=k,
-            lists_per_shard=lists_per_shard,
-            charge=charge,
-            tol_val=tol_val,
-            tol_mode=tol_mode,
-            k_scan=k_scan,
-            list_axes=("dcn", "lib"),
-            list_axis_sizes=(
-                mesh.shape["dcn"], mesh.shape["lib"]
-            ),
-        ),
+        body,
         mesh=mesh,
-        in_specs=(
-            P("dp", None),  # queries (replicated over dcn/lib)
-            P("dp"),
-            P(("dcn", "lib"), None, None),  # lists over slices x chips
-            P(("dcn", "lib"), None),
-            P(("dcn", "lib"), None),
-            P(("dcn", "lib"), None),  # dequantization scales
-            P(None, None),  # centroids replicated
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
     )
-    return fn(
-        queries, query_prec, padded_vectors, padded_ids, padded_prec,
-        padded_scales, centroids,
-    )
+    return fn(*args)
 
 
 def multislice_ivf_search(
@@ -626,6 +704,14 @@ def multislice_ivf_search(
         num_probe, k, n_lists // n_shards,
         float(charge), float(tol_val), tol_mode,
         getattr(index, "redundancy", 1) * k,
+        (
+            jax.device_put(
+                jnp.asarray(index.padded_prev),
+                NamedSharding(mesh, P(("dcn", "lib"), None, None)),
+            )
+            if getattr(index, "padded_prev", None) is not None
+            else None
+        ),
     )
     return np.asarray(ids)[:b], np.asarray(scores)[:b]
 

@@ -159,11 +159,15 @@ def main():
         return vectorize_batch(vparams, tables, q_mz, q_int, q_n)
 
     def stage_select(q_vec, q_prec):
-        return index.search(
+        # Device-resident candidates: the rescorer consumes them without
+        # a (B, k) host round trip (ids cross the tunnel only as the
+        # final best-match download).
+        ids_d, _ = index.search_device(
             q_vec, NUM_CANDIDATES,
             q_prec=q_prec.astype(np.float32), charge=float(CHARGE),
             tol_val=OPEN_TOL_DA, tol_mode="Da",
         )
+        return ids_d
 
     def stage_rescore(q_mz, q_int, q_prec, cand_ids):
         return rescore_candidate_matrix(
@@ -232,7 +236,8 @@ def main():
     np.asarray(q_vec[:1])  # force completion
     t_s1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    cand_ids = stage_select(q_vec, q_prec)  # returns a host array
+    cand_ids = stage_select(q_vec, q_prec)  # device array
+    np.asarray(cand_ids.ravel()[:1])  # 1-element sync
     t_s2 = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = stage_rescore(q_mz, q_int, q_prec, cand_ids)
@@ -248,13 +253,12 @@ def main():
 
     # MFU estimate over the dominant MXU work per batch:
     #   coarse quantize  B*L*D*2
-    #   list scan        budget * cap * D * TQ * 2 per tile
+    #   full-library tile scan  L * cap * D * TQ * 2 per tile
     #   (rescoring is VPU-bound Pallas work, excluded -> estimate is a
     #    lower bound on chip utilization)
     l, cap, d = index.padded_vectors.shape
-    budget = min(l, max(4 * NUM_PROBE, NUM_PROBE + 8))
     n_tiles = -(-N_QUERIES // 128)
-    flops_scan = n_tiles * (budget * cap * d * 128 * 2)
+    flops_scan = n_tiles * (l * cap * d * 128 * 2)
     flops_coarse = N_QUERIES * l * d * 2
     mfu = (flops_scan + flops_coarse) * qps / N_QUERIES / PEAK_BF16
     pairs_per_sec = qps * NUM_CANDIDATES
