@@ -66,24 +66,27 @@ def _stage1_bounds(
     allow_shift: bool,
     c_chunk: int,
 ):
-    """Per-pair upper bound + exactness flag for the whole (B, C) matrix.
+    """Per-pair upper bound for the whole (B, C) matrix.
 
-    For each pair: ub = sum_i max_j score(i, j), and `exact` = the row
-    argmaxes are pairwise distinct (then ub equals the greedy total: the
-    global max is some row's max; removing its row and column leaves
-    every other row's argmax untouched, by induction).
+    For each pair: ub = sum_i max_j score(i, j) >= the greedy total (a
+    one-to-one assignment can take at most each row's maximum).
 
-    Formulation note (round 3): a Pallas kernel computing the same bound
-    row-by-row in VMEM (never materializing the (P, K, K) f32 tensor)
-    was built, hardware-parity-verified, and MEASURED 7x SLOWER than
-    this XLA formulation at bench shapes (2.05 s vs 0.29 s per
-    4096x1024-pair batch on v5e): the pass is VPU-bound, and the
-    kernel's (128, K_pad) row tiles use half the VPU lanes while XLA
-    fuses the dense tensor into full-width elementwise ops that hide the
-    HBM streaming.  The kernel was deleted rather than kept as dead
-    code; re-derive it from git history if a future formulation changes
-    the math (it must reproduce exactly this bound, first-maximal-lane
-    argmax included).
+    Formulation notes (round 3):
+    * A Pallas kernel computing the same bound row-by-row in VMEM
+      (never materializing the (P, K, K) f32 tensor) was built,
+      hardware-parity-verified, and MEASURED 7x SLOWER than this XLA
+      formulation at bench shapes (2.05 s vs 0.29 s per 4096x1024-pair
+      batch on v5e): the pass is VPU-bound, and the kernel's
+      (128, K_pad) row tiles use half the VPU lanes while XLA fuses the
+      dense tensor into full-width elementwise ops that hide the HBM
+      streaming.  The kernel was deleted rather than kept as dead code;
+      re-derive it from git history if needed.
+    * An argmax-distinctness "exactness" flag (distinct row argmaxes =>
+      bound IS the greedy score) used to be computed here to skip
+      greedy calls; the dense device-side stage 2 (`_stage2_dense`)
+      runs the fixed-shape greedy kernel on every selected pair more
+      cheaply than the branchy host logic the flag enabled, so the flag
+      (and its per-pair K-wide sort) is gone.
     """
     b, c = cand_ids.shape
     k = q_mz.shape[1]
@@ -107,22 +110,9 @@ def _stage1_bounds(
             fragment_mz_tolerance, num_shifts, allow_shift,
         )  # (P, K, K)
         rowmax = jnp.max(mat, axis=2)  # (P, K)
-        rowarg = jnp.argmax(mat, axis=2).astype(jnp.int32)
         ub = jnp.sum(rowmax, axis=1)
-        kk = mat.shape[1]
-        # Distinctness of active-row argmaxes: inactive rows get unique
-        # dummy keys so they never collide.
-        key = jnp.where(
-            rowmax > 0.0, rowarg,
-            kk + jnp.arange(kk, dtype=jnp.int32)[None, :],
-        )
-        key = jnp.sort(key, axis=1)
-        conflict = jnp.any(key[:, 1:] == key[:, :-1], axis=1)
         ub = jnp.where(valid, ub, -jnp.inf)
-        return (
-            ub.reshape(ids_chunk.shape),
-            (~conflict & valid).reshape(ids_chunk.shape),
-        )
+        return ub.reshape(ids_chunk.shape)
 
     n_chunks = -(-c // c_chunk)
     c_pad = n_chunks * c_chunk
@@ -134,23 +124,71 @@ def _stage1_bounds(
     stacked = jnp.transpose(
         cand_ids.reshape(b, n_chunks, c_chunk), (1, 0, 2)
     )  # (n_chunks, B, CC)
-    ub_s, exact_s = jax.lax.map(chunk, stacked)
-    ub = jnp.transpose(ub_s, (1, 0, 2)).reshape(b, c_pad)[:, :c]
-    exact = jnp.transpose(exact_s, (1, 0, 2)).reshape(b, c_pad)[:, :c]
-    return ub, exact
+    ub_s = jax.lax.map(chunk, stacked)
+    return jnp.transpose(ub_s, (1, 0, 2)).reshape(b, c_pad)[:, :c]
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _stage2_select(ub, exact, cand_ids, t: int):
-    """Device-side stage-2 selection: per query, the top-`t` candidates
-    by upper bound (sorted descending) with their ids / exactness flags,
-    plus valid-candidate counts.  Keeps the (B, C) bound matrix on
-    device -- only these (B, T) slivers are downloaded."""
-    ub_sel, pos = jax.lax.top_k(ub, t)
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13))
+def _stage2_dense(
+    q_mz, q_int, q_prec,
+    lib_mz, lib_int, lib_ann, lib_prec,
+    ub,  # (B, C) stage-1 upper bounds
+    cand_ids,  # (B, C)
+    t: int,
+    fragment_mz_tolerance: float,
+    num_shifts: int,
+    allow_shift: bool,
+    use_pallas: bool,
+):
+    """Stage 2 entirely on device: greedy-score ALL top-`t`-bound pairs.
+
+    Round-3 profiling: the Pallas greedy kernel scores the full
+    (B, T)=131k dense pair block in ~53 ms -- cheaper than the host
+    round trips of the branchy selection it replaces ((B, T) x 4
+    downloads at ~176 ms plus per-pair host logic).  So stage 2 selects
+    the top-`t` candidates by bound, runs the real greedy on every one
+    (fixed shape, one program), picks the winner by argmax, and checks
+    the optimality certificate (winner >= t-th bound => nothing excluded
+    can beat it) on device.  Only (B,)-sized results cross the host
+    boundary; certificate failures (rare) are handled by the caller with
+    a full-C greedy.
+
+    Returns (best_idx (B,) int32, best_score (B,) f32, cert (B,) bool,
+    n_cands (B,) int32).
+    """
+    b, c = cand_ids.shape
+    ub_sel, pos = jax.lax.top_k(ub, t)  # (B, T) desc
     ids_sel = jnp.take_along_axis(cand_ids, pos, axis=1)
-    exact_sel = jnp.take_along_axis(exact, pos, axis=1)
     n_cands = jnp.sum(cand_ids >= 0, axis=1).astype(jnp.int32)
-    return ub_sel, ids_sel, exact_sel, n_cands
+    pq = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, t)
+    ).reshape(-1)
+    pc = ids_sel.reshape(-1)
+    valid = (pc >= 0) & (ub_sel.reshape(-1) > -jnp.inf)
+    n_pair = b * t
+    n_pad = -(-n_pair // 128) * 128  # Pallas PAIR_BLOCK alignment
+    if n_pad != n_pair:
+        pq = jnp.pad(pq, (0, n_pad - n_pair))
+        pc = jnp.pad(pc, (0, n_pad - n_pair), constant_values=-1)
+        valid = jnp.pad(valid, (0, n_pad - n_pair))
+    scores = gather_pair_scores(
+        q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
+        pq, jnp.clip(pc, 0, lib_mz.shape[0] - 1), valid,
+        fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
+    )[:n_pair].reshape(b, t)
+    best_t = jnp.argmax(scores, axis=1)  # ties -> highest bound rank
+    best_score = jnp.max(scores, axis=1)
+    best_idx = jnp.take_along_axis(
+        ids_sel, best_t[:, None], axis=1
+    )[:, 0].astype(jnp.int32)
+    has = n_cands > 0
+    best_idx = jnp.where(has, best_idx, -1)
+    best_score = jnp.where(has, best_score, -jnp.inf)
+    # Optimality certificate: every non-selected candidate's bound is
+    # <= the smallest selected bound.
+    t_th = jnp.min(ub_sel, axis=1)
+    cert = (best_score >= t_th) | ~jnp.isfinite(t_th) | ~has
+    return best_idx, best_score, cert, n_cands
 
 
 @functools.partial(jax.jit, static_argnums=(9, 10, 11, 12))
@@ -251,18 +289,16 @@ def rescore_candidate_matrix(
 
     Two-stage exact algorithm (reference scores every candidate with the
     full C++ greedy, SpectrumMatch.cpp:92-111 -- O(C * K^2 * K) work;
-    here the greedy runs only where it can matter):
+    here the expensive greedy runs on top_t << C candidates):
 
-    1.  One cheap pass computes every pair's row-max-sum upper bound and
-        an exactness flag (distinct row argmaxes => bound IS the greedy
-        score).  Queries whose top-bound candidate is flagged exact are
-        done: its score dominates every other candidate's bound and
-        hence their greedy scores.
-    2.  Remaining queries run the real greedy kernel on their `top_t`
-        highest-bound candidates; the result is certified optimal when
-        the best exact score reaches the `top_t`-th bound (everything
-        excluded has a smaller bound).  Certificate failures escalate to
-        a full greedy over all C candidates for that query (rare).
+    1.  One cheap pass computes every pair's row-max-sum upper bound on
+        the greedy score for the whole (B, C) matrix.
+    2.  `_stage2_dense`: each query's `top_t` highest-bound candidates
+        get the real greedy kernel (one fixed-shape device program for
+        all B x T pairs); winner = argmax, certified optimal when its
+        score reaches the `top_t`-th bound (everything excluded has a
+        smaller bound).  Certificate failures escalate to a full greedy
+        over all C candidates for that query (rare).
 
     Returns (best_idx (B,), best_score (B,), n_candidates (B,)) NumPy.
     """
@@ -273,66 +309,25 @@ def rescore_candidate_matrix(
         # (P, K, K) float32 intermediate stays under ~700 MB.
         c_chunk = max(8, min(c, 65536 // max(b, 1)))
     # The candidate matrix never round-trips: stage 1 consumes it on
-    # device, and stage 2's top-T selection also runs on device so only
-    # (B, T) slivers cross the tunnel (a (B, C) download costs ~100 ms
-    # + round trip at bench shapes).
+    # device, and stage 2 runs greedy + winner selection + certificate
+    # on device too -- only (B,)-sized results cross the tunnel.
     cand_dev = jnp.asarray(cand_ids, jnp.int32)
-    ub_d, exact_d = _stage1_bounds(
+    ub_d = _stage1_bounds(
         q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
         cand_dev, fragment_mz_tolerance, num_shifts,
         allow_shift, min(c_chunk, c),
     )
     t = min(top_t, c)
-    ub_sel_d, ids_sel_d, exact_sel_d, n_cands_d = _stage2_select(
-        ub_d, exact_d, cand_dev, t
+    best_idx_d, best_score_d, cert_d, n_cands_d = _stage2_dense(
+        q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
+        ub_d, cand_dev, t,
+        fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
     )
-    # Small host downloads; the greedy-pair selection logic is
-    # irregular host work by design (fixed-size device chunks only --
-    # dynamic-shape device programs recompile per shape, which dominates
-    # wall time on tunneled TPU backends).
-    ub_sel = np.asarray(ub_sel_d)  # (B, T) sorted descending
-    ids_sel = np.asarray(ids_sel_d)
-    exact_sel = np.asarray(exact_sel_d)
+    best_idx = np.asarray(best_idx_d).astype(np.int64)
+    best_score = np.asarray(best_score_d).astype(np.float64)
+    cert = np.asarray(cert_d)
     n_cands = np.asarray(n_cands_d)
-    has_any = n_cands > 0
-    best_idx = np.where(has_any, ids_sel[:, 0], -1).astype(np.int64)
-    best_score = np.where(
-        has_any, ub_sel[:, 0], -np.inf
-    ).astype(np.float64)
-    need = ~exact_sel[:, 0] & has_any
-    sel = np.nonzero(need)[0]
-    if len(sel) == 0:
-        return best_idx, best_score, n_cands
-
-    ub_sel = ub_sel[sel]  # (S, T)
-    ids_sel = ids_sel[sel]
-    exact_sel = exact_sel[sel]
-    # Pairs flagged exact need no greedy -- their bound IS the greedy
-    # score; only the conflicted pairs hit the kernel (typically a
-    # minority even among the selected top-T).
-    exact_scores = np.where(
-        np.isneginf(ub_sel), -np.inf, ub_sel
-    ).astype(np.float32)
-    need_pair = ~exact_sel & ~np.isneginf(ub_sel)
-    if need_pair.any():
-        flat_rows = np.repeat(sel, t).reshape(len(sel), t)
-        pair_q = flat_rows[need_pair].astype(np.int32)
-        pair_c = ids_sel[need_pair]
-        greedy = _greedy_pairs_chunked(
-            q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
-            pair_q, pair_c,
-            fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
-        )
-        exact_scores[need_pair] = greedy
-    best_t = np.argmax(exact_scores, axis=1)
-    s_rows = np.arange(len(sel))
-    best_idx[sel] = ids_sel[s_rows, best_t]
-    best_score[sel] = exact_scores[s_rows, best_t]
-    # Optimality certificate: excluded candidates all have bounds <= the
-    # smallest selected bound.
-    t_th = ub_sel.min(axis=1)
-    cert = (exact_scores[s_rows, best_t] >= t_th) | np.isneginf(t_th)
-    failures = sel[~cert]
+    failures = np.nonzero(~cert)[0]
     if len(failures) and t < c:
         # Full greedy over all C candidates for certificate failures
         # (rare: only their candidate rows are downloaded).
