@@ -301,11 +301,21 @@ def brew(
     folds: int = 3,
     seed: int = 42,
 ) -> np.ndarray:
-    """Cross-validated semi-supervised rescoring (mokapot.brew equivalent).
+    """Cross-validated semi-supervised rescoring (mokapot.brew convention).
 
     Each fold is scored by a model trained on the other folds; per-fold test
     scores are standardized against the fold's decoy distribution so they
     pool comparably.
+
+    Validation honesty (mokapot is not installable in this environment, so
+    per-PSM golden parity against mokapot itself is NOT claimed): this loop
+    follows mokapot's *convention* (CV folds, train-FDR-confident positives
+    vs decoys, refit, pooled per-fold scores) and is validated against
+    planted ground truth at the IDs-@-FDR level -- true FDP <= the nominal
+    threshold and a large ID gain over the initial score
+    (tests/test_fdr_parity.py).  The only line-level golden parity with the
+    reference is the `model=None` q-value path (`tdc_q_values`, ported from
+    src/tests/utils_test.py:60-80).  Reference behavior: utils.py:139-185.
     """
     n = len(is_target)
     rng = np.random.RandomState(seed)
