@@ -622,10 +622,28 @@ class SpectralLibrary:
         best_score = np.full(b, -np.inf, np.float64)
         widths = (hi - lo).astype(np.int64)
         order = np.argsort(widths, kind="stable")
-        group = 64
-        for start in range(0, b, group):
+        start = 0
+        while start < b:
+            # Adaptive group size: narrow windows (std-search ppm
+            # tolerances -> a handful of rows) pack MANY queries per
+            # device call, wide ones (open-search Da windows) fall back
+            # to small groups.  Fixed (group, width) power-of-two
+            # buckets keep the compiled-program count bounded; the
+            # round-3 profile showed the std leg dominated by per-call
+            # tunnel syncs at the old fixed group=64 (157 calls for 10k
+            # queries).
+            group = 1024
+            while group > 64:
+                w_max = int(widths[order[start : start + group]].max())
+                c = 8
+                while c < w_max:
+                    c *= 2
+                if group * c <= (1 << 16):
+                    break
+                group //= 2
             rows = order[start : start + group]
             n_rows = len(rows)
+            start += group
             if n_rows < group:  # pad tail group to the compiled shape
                 rows = np.concatenate(
                     [rows, np.full(group - n_rows, rows[0])]

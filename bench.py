@@ -250,6 +250,15 @@ def main():
 
     final_hit_rate = float(np.mean(best_idx == batch_rows[-1]))
     log(f"final-batch self-match hit rate: {final_hit_rate:.3f}")
+    # Accuracy gate (raised from 0.83 after x2 redundant assignment):
+    # noised self-queries must match their source row. A drop below 0.95
+    # means a probing/selection regression that throughput cannot excuse.
+    HIT_RATE_GATE = 0.95
+    if final_hit_rate < HIT_RATE_GATE:
+        log(
+            f"WARNING: self-match hit rate {final_hit_rate:.3f} below "
+            f"gate {HIT_RATE_GATE} -- quality regression"
+        )
 
     # MFU estimate over the dominant MXU work per batch:
     #   coarse quantize  B*L*D*2
@@ -288,6 +297,8 @@ def main():
                 "rescored_pairs_per_sec": round(pairs_per_sec, 0),
                 "mxu_mfu_estimate": round(mfu, 4),
                 "self_match_hit_rate": round(final_hit_rate, 3),
+                "hit_rate_gate": HIT_RATE_GATE,
+                "hit_rate_gate_passed": final_hit_rate >= HIT_RATE_GATE,
             }
         )
     )

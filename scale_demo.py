@@ -27,6 +27,118 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def sharded_main(args) -> int:
+    """Born-sharded multi-million-row build on a virtual device mesh.
+
+    Substantiates BASELINE.md's "sharded over ICI for BOTH index build
+    and query": `ShardedIvfIndex.build_sharded` trains, assigns, packs,
+    and places each (L/shards, cap, D) block straight onto its devices --
+    no device (and no single device buffer) ever holds the full list
+    block, which is the predicate for 100M+-vector libraries (~160 GB
+    bf16) that cannot exist on one chip.  Runs on the virtual 8-CPU mesh
+    (JAX_PLATFORMS=cpu + xla_force_host_platform_device_count, same
+    environment as the driver's dryrun), host-RAM-bound: rows stream
+    from a host array, per-device memory is bounded by one shard block.
+
+    Reports build rate, per-shard vs global block bytes (asserted from
+    the placed buffers' actual shapes), and a sharded-search sanity
+    check.  Usage:
+        JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+            python scale_demo.py --sharded [--n 2097152]
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ann_solo_tpu.parallel.mesh import make_mesh
+    from ann_solo_tpu.parallel.sharded_ivf import ShardedIvfIndex
+
+    devices = jax.devices()
+    log(f"devices: {len(devices)} x {devices[0].platform}")
+    mesh = make_mesh(len(devices))
+    lib_shards = mesh.shape["lib"]
+    n = args.n
+    rng = np.random.default_rng(7)
+    log(f"generating {n} x {D} unit vectors on host...")
+    vectors = rng.standard_normal((n, D), dtype=np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    prec = np.sort(rng.uniform(400, 1200, n)).astype(np.float32)
+
+    class Cfg:
+        num_list = args.num_list
+        num_probe = args.num_probe
+        ivf_redundancy = 2
+
+        def __getitem__(self, key):
+            return getattr(self, key)
+
+    t0 = time.perf_counter()
+    index = ShardedIvfIndex.build_sharded(
+        mesh, vectors, Cfg(), precursor_mz=prec,
+        storage_dtype=np.int8, n_iter=args.kmeans_iters,
+    )
+    # Materialize one element of every placed global array.
+    for arr in (index.vectors_s, index.ids_s, index.prev_s):
+        if arr is not None:
+            np.asarray(arr.ravel()[:1])
+    t_build = time.perf_counter() - t0
+    l, cap, d = index.vectors_s.shape
+    # Per-device memory bound, from the PLACED buffers themselves.
+    shard_bytes = max(
+        s.data.nbytes for s in index.vectors_s.addressable_shards
+    )
+    global_bytes = index.vectors_s.nbytes
+    assert shard_bytes * lib_shards == global_bytes
+    log(
+        f"born-sharded build: {t_build:.1f}s ({n / t_build:.0f} rows/s "
+        f"single-core CPU mesh), {l} lists cap {cap}, per-shard block "
+        f"{shard_bytes / 1e6:.0f} MB vs global {global_bytes / 1e6:.0f} MB"
+    )
+
+    b = args.n_queries
+    query_rows = rng.choice(n, b, replace=False)
+    queries = vectors[query_rows] + 0.02 * rng.standard_normal(
+        (b, D), dtype=np.float32
+    )
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    q_prec = prec[query_rows]
+    t0 = time.perf_counter()
+    cand, _ = index.search_with_scores(
+        queries, args.num_candidates, q_prec=q_prec,
+        charge=float(CHARGE), tol_val=500.0, tol_mode="Da",
+    )
+    t_search = time.perf_counter() - t0
+    hit = float(
+        np.mean([query_rows[i] in set(cand[i]) for i in range(b)])
+    )
+    log(
+        f"sharded search ({b} queries): {t_search:.1f}s, "
+        f"source-in-candidates {hit:.3f}"
+    )
+    result = {
+        "metric": f"{n / 1e6:.1f}M-vector BORN-SHARDED int8 IVF build "
+        f"over a {lib_shards}-shard 'lib' mesh (virtual CPU devices)",
+        "n_vectors": n,
+        "dims": D,
+        "num_list": args.num_list,
+        "lib_shards": lib_shards,
+        "redundancy": 2,
+        "build_sec": round(t_build, 1),
+        "build_rows_per_sec": round(n / t_build, 0),
+        "per_shard_block_bytes": int(shard_bytes),
+        "global_block_bytes": int(global_bytes),
+        "source_in_top_candidates": round(hit, 4),
+        "note": "per-device memory bounded by ONE shard block "
+        "(asserted from the placed buffers); equality with the "
+        "single-device build is pinned in tests/test_sharded_build.py; "
+        "on real v5e-8 hardware the same code paths place blocks over "
+        "ICI and the scan/merge rides psum/all-gather collectives",
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    return 0
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=2_097_152)
@@ -35,7 +147,15 @@ def main():
     parser.add_argument("--num-candidates", type=int, default=1024)
     parser.add_argument("--n-queries", type=int, default=1024)
     parser.add_argument("--out", default="SCALE.json")
+    parser.add_argument(
+        "--sharded", action="store_true",
+        help="born-sharded build demo on the virtual CPU mesh "
+        "(set JAX_PLATFORMS=cpu + xla_force_host_platform_device_count)",
+    )
+    parser.add_argument("--kmeans-iters", type=int, default=8)
     args = parser.parse_args()
+    if args.sharded:
+        return sharded_main(args)
 
     import jax
     import jax.numpy as jnp
