@@ -15,15 +15,25 @@ From-scratch replacement for the FAISS IndexIVFFlat dependency
   no per-list host passes.  Storage defaults to bfloat16 (the memory
   analog of FAISS GPU ``useFloat16``, spectral_library.py:492-495) with
   float32 MXU accumulation.
-* **Search**: query tiles (sorted by nearest centroid) scan the tile's
-  top-voted lists as blocked matmuls with the per-query probed-list mask
-  AND the precursor-mass window fused into the scan mask (reference
-  applies the window outside FAISS, spectral_library.py:443-446 -- fusing
-  it stops out-of-window neighbors from wasting top-k slots).  A
-  device-computed coverage flag detects queries whose own probed lists
-  fell outside the scanned budget; those rare rows re-run alone, where
-  the scanned set provably equals their probe set -- per-query
-  ``nprobe`` semantics are exact, never best-effort.
+* **Search**: three regimes, dispatched by a cost model in
+  ``search_device``, all with the precursor-mass window fused into the
+  scan mask (reference applies the window outside FAISS,
+  spectral_library.py:443-446 -- fusing it stops out-of-window neighbors
+  from wasting top-k slots) and all with exact per-query ``nprobe``
+  semantics:
+  - *full scan* (``_ivf_search_fullscan``): when ``num_probe x tile >=
+    num_list`` a tile's probe union covers the library, so each tile
+    scans ALL lists as one contiguous MXU einsum and probing is purely a
+    selection mask -- the bench regime;
+  - *voting budget* (``_ivf_search_batch``): large libraries where
+    centroid-sorted tiles share probe lists; a coverage flag re-runs the
+    rare budget-overflow queries through the per-query path;
+  - *per-query gather* (``_ivf_search_perquery``): the exact fallback
+    and correctness oracle.
+* **Redundant assignment** (ScaNN/SOAR-style, ``ivf_redundancy``): each
+  vector is stored in its R nearest lists; searches keep only the
+  minimum-rank probed copy of each id via the build-time
+  ``padded_prev`` table (`pack_prev_lists`) -- no post-top-k sort dedup.
 * **Persistence**: one .h5 file per charge, named with the hyperparameter
   hash like the reference's .idxann files (spectral_library.py:98-116).
 

@@ -311,3 +311,34 @@ def test_ivf_returns_valid_ids():
     # Each query's own vector should be among its neighbors.
     for i in range(20):
         assert i in set(ids[i][ids[i] >= 0])
+
+
+def test_prev_dedup_matches_sort_dedup():
+    """The min-rank-copy dedup (padded_prev table) must return the same
+    unique-id top-k as the legacy sort-based dedup across all search
+    paths -- old persisted indexes (no table) fall back to the sort."""
+    rng = np.random.default_rng(31)
+    vectors = _clustered_vectors(rng, n=3000, d=32, n_clusters=16)
+    index = IvfIndex.build(
+        vectors, IvfConfig(num_list=16, num_probe=4), redundancy=2,
+        storage_dtype=np.float32,
+    )
+    assert index.padded_prev is not None
+    legacy = IvfIndex(
+        index.centroids, index.padded_vectors, index.padded_ids,
+        index.num_probe, index.padded_prec, index.padded_scales,
+        redundancy=index.redundancy, padded_prev=None,
+    )
+    legacy.padded_prev = None  # constructor keeps None only for r > 1
+    queries = vectors[rng.choice(3000, 64, replace=False)]
+    queries += 0.05 * rng.normal(size=queries.shape).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    prec = np.sort(rng.uniform(400, 1200, 3000)).astype(np.float32)
+    index.padded_prec = legacy.padded_prec  # identical windows
+    for probe in (4, 16):  # partial and full probing
+        a = index.search(queries, 24, num_probe=probe)
+        b = legacy.search(queries, 24, num_probe=probe)
+        for i in range(len(queries)):
+            sa = set(a[i][a[i] >= 0].tolist())
+            sb = set(b[i][b[i] >= 0].tolist())
+            assert sa == sb, f"probe={probe} query {i}"
