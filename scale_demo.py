@@ -153,6 +153,11 @@ def main():
         "(set JAX_PLATFORMS=cpu + xla_force_host_platform_device_count)",
     )
     parser.add_argument("--kmeans-iters", type=int, default=8)
+    parser.add_argument(
+        "--redundancy", type=int, default=1,
+        help="stored copies per vector for the single-chip capacity "
+        "demo (the sharded demo always uses 2)",
+    )
     args = parser.parse_args()
     if args.sharded:
         return sharded_main(args)
@@ -175,6 +180,10 @@ def main():
     class Cfg:
         num_list = args.num_list
         num_probe = args.num_probe
+        # Capacity demo: single-copy storage (x2 redundant assignment
+        # would halve per-chip capacity; its quality effect is measured
+        # separately in QUALITY_r03 at bench scale).
+        ivf_redundancy = args.redundancy
 
         def __getitem__(self, key):
             return getattr(self, key)
@@ -242,6 +251,7 @@ def main():
         "dims": D,
         "num_list": args.num_list,
         "num_probe": args.num_probe,
+        "redundancy": args.redundancy,
         "build_sec": round(t_build, 1),
         "build_vectors_per_sec": round(n / t_build, 0),
         "index_bytes_per_vector": round(index.bytes_per_vector, 1),
