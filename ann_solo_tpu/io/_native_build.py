@@ -26,9 +26,13 @@ NATIVE_DIR = os.path.join(
 
 
 def _make(target: str, force: bool) -> bool:
-    cmd = ["make", "-C", NATIVE_DIR, target]
+    # -C's directory argument must immediately follow it; -B goes after
+    # (a round-3 sweep run on a fresh clone caught "-C -B <dir>" making
+    # make chdir into a directory literally named "-B").
+    cmd = ["make", "-C", NATIVE_DIR]
     if force:
-        cmd.insert(2, "-B")
+        cmd.append("-B")
+    cmd.append(target)
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
