@@ -342,3 +342,83 @@ def test_prev_dedup_matches_sort_dedup():
             sa = set(a[i][a[i] >= 0].tolist())
             sb = set(b[i][b[i] >= 0].tolist())
             assert sa == sb, f"probe={probe} query {i}"
+
+
+def test_three_regime_parity():
+    """The three scan regimes (full-library tile scan, voting-budget tile
+    scan, per-query gather) must return the same neighbor sets.
+
+    The dispatch is a COST model, not a semantics switch
+    (ivf.search_device); this pins all three paths against each other on
+    one index, with the fused precursor window on, plus the end-to-end
+    budget path (small probe count so `num_probe * tile < num_list`)
+    including its dropped-coverage retry."""
+    import jax.numpy as jnp
+
+    from ann_solo_tpu.index.ivf import (
+        _ivf_search_batch,
+        _ivf_search_fullscan,
+        _ivf_search_perquery,
+        _LIST_CHUNK,
+    )
+
+    rng = np.random.default_rng(41)
+    n, d, l = 20000, 64, 512
+    vectors = _clustered_vectors(rng, n=n, d=d, n_clusters=32)
+    prec = np.sort(rng.uniform(400, 1200, n)).astype(np.float32)
+    index = IvfIndex.build(
+        vectors, IvfConfig(num_list=l, num_probe=16), redundancy=2,
+        storage_dtype=np.float32, precursor_mz=prec,
+    )
+    b, k, p = 256, 32, 16
+    rows = rng.choice(n, b, replace=False)
+    queries = vectors[rows] + 0.05 * rng.normal(
+        size=(b, d)
+    ).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    q_prec = prec[rows].copy()
+
+    vecs_d, ids_d, prec_d, scales_d, cents_d = index.device_arrays()
+    prev_d = index._device_prev
+    args = (
+        vecs_d, ids_d, prec_d, scales_d, prev_d, cents_d,
+        jnp.asarray(queries), jnp.asarray(q_prec), jnp.float32(2.0),
+    )
+    k_scan = index.redundancy * k
+    s_full, i_full = _ivf_search_fullscan(
+        *args, p, k, k_scan, 50.0, "Da"
+    )
+    s_b, i_b, dropped = _ivf_search_batch(
+        *args, p, l, _LIST_CHUNK, k, k_scan, 50.0, "Da"
+    )  # budget == L: every list scanned, nothing can drop
+    assert not np.asarray(dropped).any()
+    s_pq, i_pq = _ivf_search_perquery(
+        *args, p, k, k_scan, 50.0, "Da"
+    )
+    for name, (s, i) in {
+        "batch": (s_b, i_b), "perquery": (s_pq, i_pq)
+    }.items():
+        for q in range(b):
+            got = set(np.asarray(i[q])[np.asarray(i[q]) >= 0].tolist())
+            want = set(
+                np.asarray(i_full[q])[np.asarray(i_full[q]) >= 0].tolist()
+            )
+            assert got == want, f"{name} vs fullscan, query {q}"
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s), axis=1),
+            np.sort(np.asarray(s_full), axis=1),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    # End-to-end: tiny probe count forces the voting-budget regime
+    # (num_probe * tile < num_list) with possible retries; results must
+    # match the per-query oracle at the same probe count.
+    ids_small = index.search(
+        queries, k, num_probe=2, q_prec=q_prec, charge=2.0,
+        tol_val=50.0, tol_mode="Da",
+    )
+    s_o, i_o = _ivf_search_perquery(*args, 2, k, k_scan, 50.0, "Da")
+    for q in range(b):
+        got = set(ids_small[q][ids_small[q] >= 0].tolist())
+        want = set(np.asarray(i_o[q])[np.asarray(i_o[q]) >= 0].tolist())
+        assert got == want, f"budget e2e vs oracle, query {q}"
