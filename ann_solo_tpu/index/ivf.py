@@ -466,6 +466,17 @@ def _ivf_search_fullscan(
     older persisted indexes.  Queries stay in input order (tiles share
     nothing, so the centroid-sort of the budget path buys nothing
     here).
+
+    Formulation measurements (v5e, bench shapes, batch granularity --
+    single-dispatch timings on the tunneled backend only measure the
+    ~34 ms RPC floor): the einsum scan runs within ~1.3x of the
+    HBM+MXU roofline (57 ms/batch bare, 105 ms with the probe gather);
+    a flattened (T, D) @ (D, L*cap) matmul on a pre-transposed layout
+    and bf16-cast queries measured the same, so neither a layout change
+    nor a Pallas matmul kernel buys anything here.  The remaining stage
+    cost is top_k (~5.5 ms/tile at 24k lanes, where XLA's sort is
+    within ~2x of a compare-exchange lower bound) and selection
+    plumbing.
     """
     l, cap, d = padded_vectors.shape
     b = queries.shape[0]
