@@ -158,12 +158,12 @@ def main():
     def stage_vectorize(q_mz, q_int, q_n):
         return vectorize_batch(vparams, tables, q_mz, q_int, q_n)
 
-    def stage_select(q_vec, q_prec):
+    def stage_select(q_vec, q_prec, k=NUM_CANDIDATES):
         # Device-resident candidates: the rescorer consumes them without
         # a (B, k) host round trip (ids cross the tunnel only as the
         # final best-match download).
         ids_d, _ = index.search_device(
-            q_vec, NUM_CANDIDATES,
+            q_vec, k,
             q_prec=q_prec.astype(np.float32), charge=float(CHARGE),
             tol_val=OPEN_TOL_DA, tol_mode="Da",
         )
@@ -178,9 +178,9 @@ def main():
             FRAG_TOL, CHARGE + 1, True, use_pallas,
         )
 
-    def run_batch(q_mz, q_int, q_ann, q_n, q_prec):
+    def run_batch(q_mz, q_int, q_ann, q_n, q_prec, k=NUM_CANDIDATES):
         q_vec = stage_vectorize(q_mz, q_int, q_n)
-        cand_ids = stage_select(q_vec, q_prec)
+        cand_ids = stage_select(q_vec, q_prec, k)
         best_idx, best_score, n_cands = stage_rescore(
             q_mz, q_int, q_prec, cand_ids
         )
@@ -248,6 +248,25 @@ def main():
         f"ann-select={t_s2:.3f} rescore={t_s3:.3f}"
     )
 
+    # Tuned operating point: QUALITY_r03 probes showed num_candidates=512
+    # gives IDENTICAL IDs@1%FDR to the reference-default 1024 on the x2
+    # redundant index (the ANN recall curve plateaus by k~100), so the
+    # candidate depth is free throughput.  The headline metric above stays
+    # at the reference default for honest baseline comparison.
+    TUNED_CANDIDATES = 512
+    run_batch(*batches[0], k=TUNED_CANDIDATES)  # compile tuned variants
+    t0 = time.perf_counter()
+    n_done_tuned = 0
+    for batch in batches:
+        t_idx, _ = run_batch(*batch, k=TUNED_CANDIDATES)
+        n_done_tuned += N_QUERIES
+    tuned_qps = n_done_tuned / (time.perf_counter() - t0)
+    tuned_hit = float(np.mean(t_idx == batch_rows[-1]))
+    log(
+        f"tuned ({TUNED_CANDIDATES} candidates): {tuned_qps:.1f} "
+        f"queries/sec/chip, hit rate {tuned_hit:.3f}"
+    )
+
     final_hit_rate = float(np.mean(best_idx == batch_rows[-1]))
     log(f"final-batch self-match hit rate: {final_hit_rate:.3f}")
     # Accuracy gate (raised from 0.83 after x2 redundant assignment):
@@ -299,6 +318,9 @@ def main():
                 "self_match_hit_rate": round(final_hit_rate, 3),
                 "hit_rate_gate": HIT_RATE_GATE,
                 "hit_rate_gate_passed": final_hit_rate >= HIT_RATE_GATE,
+                "tuned_num_candidates": TUNED_CANDIDATES,
+                "tuned_queries_per_sec": round(tuned_qps, 2),
+                "tuned_self_match_hit_rate": round(tuned_hit, 3),
             }
         )
     )
