@@ -626,19 +626,27 @@ class SpectralLibrary:
         while start < b:
             # Adaptive group size: narrow windows (std-search ppm
             # tolerances -> a handful of rows) pack MANY queries per
-            # device call, wide ones (open-search Da windows) fall back
-            # to small groups.  Fixed (group, width) power-of-two
-            # buckets keep the compiled-program count bounded; the
-            # round-3 profile showed the std leg dominated by per-call
-            # tunnel syncs at the old fixed group=64 (157 calls for 10k
-            # queries).
-            group = 1024
+            # device call, wide ones (open-search Da windows) use
+            # smaller groups.  The ~16M-pair budget bounds the (B, C)
+            # device transients (cand + bounds ~67 MB each) while
+            # keeping call counts low -- per-call tunnel syncs, not
+            # device compute, dominated the old fixed group=64 (157
+            # calls for a 10k-query std leg; 60 for an open leg).
+            # Fixed (group, width) power-of-two buckets keep the
+            # compiled-program count bounded.
+            # Never pad a small batch up to a big group: each (group, c)
+            # shape is a fresh compile, and a 60-query file padded to
+            # 1024 rows costs minutes of tunnel compiles for nothing.
+            g_cap = 64
+            while g_cap < min(b, 1024):
+                g_cap *= 2
+            group = g_cap
             while group > 64:
                 w_max = int(widths[order[start : start + group]].max())
                 c = 8
                 while c < w_max:
                     c *= 2
-                if group * c <= (1 << 16):
+                if group * c <= (1 << 24):
                     break
                 group //= 2
             rows = order[start : start + group]
