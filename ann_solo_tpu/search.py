@@ -597,18 +597,31 @@ class SpectralLibrary:
         n_cands = np.concatenate([o[2] for o in outs])
         return best_idx.astype(np.int64), best_score, n_cands
 
+    # Canonical window-rescore shapes.  Every window-mode rescore call
+    # uses ONE of exactly two (rows, width) device shapes: narrow
+    # windows (std-search ppm tolerances) pack whole per-query ranges,
+    # wide windows (open-search Da ranges) split into fixed-width
+    # sub-rows whose per-sub-row winners reduce on the host.  Two shapes
+    # = two compiled program ladders per process, however many files,
+    # batch sizes, or window widths a run sees -- the (group, width)
+    # bucket ladder this replaces could cost minutes of tunnel compiles
+    # on a fresh process (the per-raw-file fan-out tax, VERDICT r2 #6).
+    _WIN_ROWS = 1024  # rows per device call
+    _WIN_NARROW = 256  # widths <= this pack as-is
+    _WIN_WIDE = 16384  # wider windows split into sub-rows of this
+
     def _rescore_window_ranges(
         self, q_mz, q_int, q_prec, lib, lo, hi, charge
     ):
         """Exact rescoring of contiguous precursor-window row ranges.
 
-        Queries are grouped by window size (sorted, power-of-two width
-        buckets) and each group runs through the same two-stage
-        certificate rescorer as the ANN path -- the brute-force mode no
-        longer streams every pair through the full greedy kernel.
+        Each query's [lo, hi) range becomes one narrow sub-row or
+        several wide sub-rows (canonical shapes above); all sub-rows run
+        through the same two-stage certificate rescorer as the ANN path,
+        and a query's winner is the score-max over its sub-rows (ties
+        resolve to the earliest sub-row, preserving the
+        first-in-matrix-order tie rule of the unsplit formulation).
         """
-        import jax.numpy as jnp
-
         from ann_solo_tpu.ops.rescore import rescore_candidate_matrix
         from ann_solo_tpu.ops.shifted_dot_pallas import use_pallas_default
 
@@ -620,61 +633,65 @@ class SpectralLibrary:
         use_pallas = use_pallas_default()
         best_idx = np.full(b, -1, np.int64)
         best_score = np.full(b, -np.inf, np.float64)
-        widths = (hi - lo).astype(np.int64)
-        order = np.argsort(widths, kind="stable")
-        start = 0
-        while start < b:
-            # Adaptive group size: narrow windows (std-search ppm
-            # tolerances -> a handful of rows) pack MANY queries per
-            # device call, wide ones (open-search Da windows) use
-            # smaller groups.  The ~16M-pair budget bounds the (B, C)
-            # device transients (cand + bounds ~67 MB each) while
-            # keeping call counts low -- per-call tunnel syncs, not
-            # device compute, dominated the old fixed group=64 (157
-            # calls for a 10k-query std leg; 60 for an open leg).
-            # Fixed (group, width) power-of-two buckets keep the
-            # compiled-program count bounded.
-            # Never pad a small batch up to a big group: each (group, c)
-            # shape is a fresh compile, and a 60-query file padded to
-            # 1024 rows costs minutes of tunnel compiles for nothing.
-            g_cap = 64
-            while g_cap < min(b, 1024):
-                g_cap *= 2
-            group = g_cap
-            while group > 64:
-                w_max = int(widths[order[start : start + group]].max())
-                c = 8
-                while c < w_max:
-                    c *= 2
-                if group * c <= (1 << 24):
-                    break
-                group //= 2
-            rows = order[start : start + group]
-            n_rows = len(rows)
-            start += group
-            if n_rows < group:  # pad tail group to the compiled shape
-                rows = np.concatenate(
-                    [rows, np.full(group - n_rows, rows[0])]
+        lo = lo.astype(np.int64)
+        hi = hi.astype(np.int64)
+        widths = hi - lo
+
+        # Expand to (source query, sub-range start, canonical width).
+        narrow_q = np.nonzero((widths > 0) & (widths <= self._WIN_NARROW))[0]
+        wide_rows = np.nonzero(widths > self._WIN_NARROW)[0]
+        n_sub = -(-widths[wide_rows] // self._WIN_WIDE)
+        wide_q = np.repeat(wide_rows, n_sub)
+        # Sub-range starts: lo, lo + W, ... per wide query, in order.
+        offs = (
+            np.arange(len(wide_q))
+            - np.repeat(np.cumsum(n_sub) - n_sub, n_sub)
+        ) * self._WIN_WIDE
+        wide_lo = lo[wide_q] + offs
+
+        def run(sub_q, sub_lo, width):
+            # Row count buckets to the work size (power of two, <=
+            # _WIN_ROWS): small files/tests don't pad 60 rows up to 1024
+            # (wasted compute AND a needless big compile), while big
+            # batches always use the one full-size shape.  <= 5 row
+            # buckets x 2 widths bounds the per-process program count.
+            g = 64
+            while g < min(len(sub_q), self._WIN_ROWS):
+                g *= 2
+            for s in range(0, len(sub_q), g):
+                rows = sub_q[s : s + g]
+                starts = sub_lo[s : s + g]
+                n_rows = len(rows)
+                if n_rows < g:  # pad to the compiled shape
+                    pad = g - n_rows
+                    rows = np.concatenate([rows, np.full(pad, rows[0])])
+                    starts = np.concatenate(
+                        [starts, np.full(pad, sub_lo[s])]
+                    )
+                cand = starts[:, None] + np.arange(
+                    width, dtype=np.int64
+                )[None]
+                cand = np.where(cand < hi[rows][:, None], cand, -1)
+                idx_g, score_g, _ = rescore_candidate_matrix(
+                    self._dp_put(q_mz[rows], 1),
+                    self._dp_put(q_int[rows], 1),
+                    self._dp_put(q_prec[rows].astype(np.float32), 0),
+                    lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
+                    self._dp_put(cand.astype(np.int32), 1),
+                    frag_tol, num_shifts, allow_shift, use_pallas,
                 )
-            w = int(widths[rows].max())
-            if w == 0:
-                continue
-            # Pad the group width to a power of two (bounded recompiles).
-            c = 8
-            while c < w:
-                c *= 2
-            cand = lo[rows][:, None] + np.arange(c, dtype=np.int64)[None]
-            cand = np.where(cand < hi[rows][:, None], cand, -1)
-            idx_g, score_g, _ = rescore_candidate_matrix(
-                self._dp_put(q_mz[rows], 1),
-                self._dp_put(q_int[rows], 1),
-                self._dp_put(q_prec[rows].astype(np.float32), 0),
-                lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
-                self._dp_put(cand.astype(np.int32), 1),
-                frag_tol, num_shifts, allow_shift, use_pallas,
-            )
-            best_idx[rows[:n_rows]] = idx_g[:n_rows]
-            best_score[rows[:n_rows]] = score_g[:n_rows]
+                # Earliest-sub-row max: sub-rows arrive in range order,
+                # so a strict > keeps the first maximal sub-row.
+                for j in range(n_rows):
+                    q = rows[j]
+                    if score_g[j] > best_score[q]:
+                        best_score[q] = score_g[j]
+                        best_idx[q] = idx_g[j]
+
+        if len(narrow_q):
+            run(narrow_q, lo[narrow_q], self._WIN_NARROW)
+        if len(wide_q):
+            run(wide_q, wide_lo, self._WIN_WIDE)
         return best_idx, best_score
 
     def _best_pair_matches(
