@@ -450,6 +450,11 @@ def _ivf_search_fullscan(
 ):
     """Full-library tile scan: the MXU-native regime.
 
+    Reference behavior covered: FAISS's fused IVF scan +
+    `nprobe`/`num_candidates` semantics (spectral_library.py:443-446,
+    76-87) -- neighbor ids for each query's own probed lists, -1 padded,
+    with the precursor window fused instead of applied outside.
+
     When `num_probe x tile >= num_list`, the probed-list union of any
     query tile covers (nearly) the whole library, so the voting/budget
     machinery of `_ivf_search_batch` degenerates -- round-3 profiling
