@@ -9,6 +9,14 @@ MULTICHIP_r01.json).  Fresh compiles of every program in this codebase
 take seconds, so caching is disabled unless the user explicitly points
 `ANN_SOLO_TPU_JAX_CACHE` at a directory (useful on non-tunneled hosts
 where client and runtime share one libtpu).
+
+Round-3 retest (same experiment, current jax/libtpu stack): a cold
+process compiled and ran a representative einsum+top_k program in 50 s
+and populated the cache; a second process with the warm cache HUNG
+indefinitely at first dispatch and had to be killed.  The trap is
+current, not historical; opt-in-off stands.  A quick-self-check gate
+(compile one tiny program from cache, verify a value, enable on
+success) cannot help because the failure mode is a hang, not an error.
 """
 
 from __future__ import annotations
