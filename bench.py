@@ -208,6 +208,13 @@ def main():
         )
 
     log("warmup (compile)")
+    # NOTE: remote compiles on the tunneled backend DO parallelize across
+    # host threads (measured 16.7 s serial -> 5.8 s for 3 mid-size
+    # programs), but warming the three pipeline stages concurrently was
+    # measured to NOT improve this warmup (16.0 s vs 15.5 s serial): one
+    # program (the full-library scan) dominates max(compile), so the
+    # lazy sequential warmup is already near the floor.  Revisit if the
+    # program ladder ever grows wide again.
     t0 = time.perf_counter()
     best_idx, _ = run_batch(*batches[0])
     run_batch(*batches[1])  # second batch hits remaining code paths
