@@ -109,8 +109,6 @@ def _ann_recall_curve(lib_path, query_path, bf_matches, parsed):
     inside the ANN candidate list (precursor window fused, open-search
     tolerances) and report the cumulative recovery at each k.
     """
-    import jax.numpy as jnp
-
     from ann_solo_tpu.config import config
     from ann_solo_tpu.models.vectorize import (
         VectorizeParams,
