@@ -519,15 +519,17 @@ def _ivf_search_fullscan(
             ids_g.reshape(tile, p * cap), pos, axis=1
         )
         top_i = jnp.where(top_s > -jnp.inf, top_i, -1)
-        if k_sel > k:  # redundant storage: dedup ids, reselect top-k
-            if padded_prev is not None:
-                probed = _probe_bitmap(probe_ids, l)
-                top_s, top_i = _dedup_topk_prev(
-                    top_s, pos, top_i, probe_ids, probed, padded_prev,
-                    cap, k,
-                )
-            else:
-                top_s, top_i = _dedup_topk(top_s, top_i, k)
+        # Redundant storage: dedup ids, reselect top-k.  The prev-table
+        # dedup also runs when k_sel <= k (a tiny probed set can still
+        # surface both copies of an id; FAISS never returns duplicates).
+        if padded_prev is not None:
+            probed = _probe_bitmap(probe_ids, l)
+            top_s, top_i = _dedup_topk_prev(
+                top_s, pos, top_i, probe_ids, probed, padded_prev,
+                cap, k,
+            )
+        elif k_sel > k:
+            top_s, top_i = _dedup_topk(top_s, top_i, k)
         return _pad_topk(top_s, top_i, k)
 
     scores_t, ids_t = jax.lax.map(
@@ -656,15 +658,16 @@ def _ivf_search_batch(
             ids_g.reshape(tile, p * cap), pos, axis=1
         )
         top_i = jnp.where(top_s > -jnp.inf, top_i, -1)
-        if k_sel > k:  # redundant storage: dedup ids, reselect top-k
-            if padded_prev is not None:
-                probed = _probe_bitmap(probe_ids, l)
-                top_s, top_i = _dedup_topk_prev(
-                    top_s, pos, top_i, probe_ids, probed, padded_prev,
-                    cap, k,
-                )
-            else:
-                top_s, top_i = _dedup_topk(top_s, top_i, k)
+        # Redundant storage: dedup ids, reselect top-k (prev-table form
+        # also at k_sel <= k -- see _ivf_search_fullscan).
+        if padded_prev is not None:
+            probed = _probe_bitmap(probe_ids, l)
+            top_s, top_i = _dedup_topk_prev(
+                top_s, pos, top_i, probe_ids, probed, padded_prev,
+                cap, k,
+            )
+        elif k_sel > k:
+            top_s, top_i = _dedup_topk(top_s, top_i, k)
         top_s, top_i = _pad_topk(top_s, top_i, k)
         return top_s, top_i, dropped
 
@@ -752,7 +755,7 @@ def _ivf_search_perquery(
             ids.reshape(q.shape[0], -1), pos, axis=1
         )
         top_ids = jnp.where(top_scores > -jnp.inf, top_ids, -1)
-        if k_eff > k and padded_prev is not None:
+        if padded_prev is not None:
             probed = _probe_bitmap(probes, l)
             top_scores, top_ids = _dedup_topk_prev(
                 top_scores, pos, top_ids, probes, probed, padded_prev,

@@ -105,7 +105,7 @@ def _local_ivf_scan(
     k_local = min(k_scan, l_l * p)
     local_scores, pos = jax.lax.top_k(scores, k_local)
     local_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
-    if padded_prev is not None and k_local > k:
+    if padded_prev is not None:
         # Min-rank-copy dedup on the LOCAL selection (index/ivf.
         # pack_prev_lists): an entry is dropped when a lower-rank copy
         # of its id lives in a probed list -- on ANY shard (the table

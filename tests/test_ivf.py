@@ -422,3 +422,21 @@ def test_three_regime_parity():
         got = set(ids_small[q][ids_small[q] >= 0].tolist())
         want = set(np.asarray(i_o[q])[np.asarray(i_o[q]) >= 0].tolist())
         assert got == want, f"budget e2e vs oracle, query {q}"
+
+
+def test_no_duplicate_ids_when_probe_set_smaller_than_k():
+    """A tiny probed set (p * cap <= k) must still never surface an id
+    twice under redundant storage -- FAISS never returns duplicate
+    neighbor ids (round-3 self-review regression)."""
+    rng = np.random.default_rng(47)
+    vectors = _clustered_vectors(rng, n=600, d=32, n_clusters=8)
+    index = IvfIndex.build(
+        vectors, IvfConfig(num_list=8, num_probe=8), redundancy=2,
+        storage_dtype=np.float32,
+    )
+    queries = vectors[rng.choice(600, 32, replace=False)]
+    # k far above the unique candidate count: every stored entry fits.
+    got = index.search(queries, 512, num_probe=8)
+    for i in range(len(queries)):
+        row = got[i][got[i] >= 0]
+        assert len(np.unique(row)) == len(row), f"query {i} has dups"
