@@ -60,6 +60,13 @@ logger = logging.getLogger(__name__)
 
 _TILE_Q = 128  # queries per search tile
 _LIST_CHUNK = 16  # lists scanned per inner step
+# Full-scan regime limit: the (T, L, cap) f32 score transient must fit
+# comfortably in HBM.  Beyond it the chunked scan takes over.
+_FULLSCAN_TRANSIENT = 1 << 28  # 256 MB
+# Chunked-scan knobs: queries per super-tile (the library streams from
+# HBM once per super-tile) and the per-chunk f32 transient target.
+_CHUNK_TQ = 1024
+_CHUNK_TRANSIENT = 1 << 28  # 256 MB
 _TILE_LIST_SLACK = 4  # tile scans up to slack * num_probe voted lists
 _FILL_SLACK = 1.5  # list capacity = slack * mean list size
 _N_CHOICES = 4  # spill candidates per vector (nearest centroids)
@@ -391,6 +398,34 @@ def _probe_bitmap(probe_ids, l: int):
     return jnp.any(probe_ids[:, None, :] == iota, axis=-1)
 
 
+def _prev_keep_mask(lists, slots, probed, padded_prev):
+    """Min-rank-copy keep mask for redundant-storage entries.
+
+    An entry (list, slot) survives iff NONE of its lower-rank copies'
+    lists (the build-time ``padded_prev`` table) is in the query's probe
+    set -- i.e. it is the minimum-rank probed copy of its id.
+
+    Known tie-boundary caveat (round-3 ADVICE): copies of one id score
+    identically, so when the selection boundary tie-breaks the min-rank
+    copy OUT of the top-k_scan buffer while a higher-rank copy is
+    inside, the inside copy is masked here (its lower-rank copy's list
+    IS probed) and the id is replaced by the (k+1)-th neighbor.  This
+    needs an exact score tie at the k_scan-th place between copies of
+    the same id, loses at most that one boundary neighbor, and is
+    accepted in exchange for the O(K') mask (an exact fix needs
+    membership tests against the selected (list, slot) set itself).
+    """
+    l = probed.shape[1]
+    keep = jnp.ones(lists.shape, bool)
+    for j in range(padded_prev.shape[-1]):
+        pj = padded_prev[lists, slots, j]  # (Q, K') gather
+        pj_probed = jnp.take_along_axis(
+            probed, jnp.clip(pj, 0, l - 1), axis=1
+        )
+        keep &= ~((pj >= 0) & pj_probed)
+    return keep
+
+
 def _dedup_topk_prev(
     top_s,  # (Q, K') top-k_scan scores (desc, -inf padded)
     top_pos,  # (Q, K') flat positions into the (P * cap) probe block
@@ -406,23 +441,19 @@ def _dedup_topk_prev(
     Redundant storage surfaces a vector once per probed copy (identical
     scores), so the top R*k entries contain at least k unique ids.  An
     entry survives iff it is the minimum-rank copy whose list the query
-    probes -- exactly one copy of each id survives, giving the same
-    unique-id top-k as the sort-based `_dedup_topk` without its (Q, K')
-    argsort.  Operating on the selection, not the full (P * cap) block,
-    keeps the `padded_prev` gathers ~P*cap/K' times smaller (measured
-    ~1.1 s/batch for the pre-mask form vs ~50 ms here at bench shapes).
+    probes (`_prev_keep_mask`) -- exactly one copy of each id survives,
+    giving the same unique-id top-k as the sort-based `_dedup_topk`
+    without its (Q, K') argsort.  Operating on the selection, not the
+    full (P * cap) block, keeps the `padded_prev` gathers ~P*cap/K'
+    times smaller (measured ~1.1 s/batch for the pre-mask form vs
+    ~50 ms here at bench shapes).
     """
-    l = probed.shape[1]
     lp = top_pos // cap  # (Q, K') probe index
     slot = top_pos - lp * cap
     lists = jnp.take_along_axis(probe_ids, lp, axis=1)  # (Q, K')
-    keep = top_s > -jnp.inf
-    for j in range(padded_prev.shape[-1]):
-        pj = padded_prev[lists, slot, j]  # (Q, K') gather
-        pj_probed = jnp.take_along_axis(
-            probed, jnp.clip(pj, 0, l - 1), axis=1
-        )
-        keep &= ~((pj >= 0) & pj_probed)
+    keep = (top_s > -jnp.inf) & _prev_keep_mask(
+        lists, slot, probed, padded_prev
+    )
     sc = jnp.where(keep, top_s, -jnp.inf)
     k_out = min(k, sc.shape[1])
     out_s, pos2 = jax.lax.top_k(sc, k_out)
@@ -540,6 +571,184 @@ def _ivf_search_fullscan(
         ),
     )
     return scores_t.reshape(b, k), ids_t.reshape(b, k)
+
+
+@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
+def _ivf_search_chunked(
+    padded_vectors,  # (L, cap, D) storage dtype
+    padded_ids,  # (L, cap) int32, -1 = padding
+    padded_prec,  # (L, cap) float32 precursor m/z (0 pad)
+    padded_scales,  # (L, cap) float32 (int8 dequant; 1s)
+    padded_prev,  # (L, cap, R-1) int32 lower-rank copy lists, or None
+    centroids,  # (L, D) float32
+    queries,  # (B, D) float32, B <= _CHUNK_TQ
+    q_prec,  # (B,) float32 (ignored unless tol_val > 0)
+    charge,  # () float32 (Da-mode charge scaling)
+    num_probe: int,
+    k: int,
+    k_scan: int,  # entries selected before dedup (R * k for x-R storage)
+    list_m: int,  # entries kept per list before the merge (<= cap)
+    list_chunk: int,  # lists scanned per chunk
+    tol_val: float,
+    tol_mode: str,
+):
+    """Chunked full-library scan for multi-million-row indexes.
+
+    The big-library regime (reference: FAISS's fused IVF scan at Kim2014
+    scale, spectral_library.py:443-446; BASELINE.md 100M north star).
+    When the probed-list union of a query batch covers the library but
+    the (T, L, cap) score transient of `_ivf_search_fullscan` no longer
+    fits, the per-query gather scan used to take over and read
+    num_probe * cap * D bytes PER QUERY (~39 MB at 2.1M rows -- measured
+    ~20x off the HBM roofline, SCALE_r03).  This formulation instead
+    streams the whole list block ONCE per query super-tile:
+
+    * outer `lax.scan` over chunks of `list_chunk` lists -- each chunk
+      is one contiguous (B, D) x (C * cap, D)^T MXU einsum, so HBM
+      traffic is L * cap * D bytes per `_CHUNK_TQ` queries instead of
+      per query;
+    * hierarchical selection: per-LIST top-`list_m` over the cap axis
+      (narrow, cheap) feeds an incremental (B, k_scan) running top-k
+      merge -- no megawide (B, L * cap) top_k row ever materializes;
+    * exactness certificate: a list is *truncated* when more than
+      `list_m` of its entries pass the probe/window mask.  Entries
+      dropped by truncation all score <= that list's list_m-th best, so
+      a query's result is provably exact when
+      ``max over truncated lists of (list_m-th best) < (k_scan-th best
+      overall)``.  The returned `inexact` flag marks the rare queries
+      where the inequality fails; `search_device` re-runs exactly those
+      through the per-query oracle, keeping results identical to
+      `_ivf_search_perquery` by construction (tests/test_ivf.py).
+
+    Probing stays exact per-query `nprobe` semantics: the probe bitmap
+    masks scores before selection, identical to the fullscan regime.
+    """
+    l, cap, d = padded_vectors.shape
+    b = queries.shape[0]
+    p = min(num_probe, l)
+    m = min(list_m, cap)
+    c_lists = min(list_chunk, l)
+    n_chunks = -(-l // c_lists)
+    k_run = min(k_scan, p * cap)
+    cast_bf16 = padded_vectors.dtype != jnp.float32
+
+    coarse = jnp.dot(
+        queries, centroids.T, preferred_element_type=jnp.float32
+    )  # (B, L)
+    _, probe_ids = jax.lax.top_k(coarse, p)  # (B, P)
+    probed = _probe_bitmap(probe_ids, l)  # (B, L)
+    q_scan = queries.astype(jnp.bfloat16) if cast_bf16 else queries
+    iota_c = jnp.arange(c_lists, dtype=jnp.int32)
+
+    def chunk_fn(carry, c):
+        run_s, run_pos, viol = carry
+        start = jnp.minimum(c * c_lists, l - c_lists)
+        vecs = jax.lax.dynamic_slice_in_dim(
+            padded_vectors, start, c_lists, 0
+        )  # (C, cap, D)
+        ids_c = jax.lax.dynamic_slice_in_dim(padded_ids, start, c_lists, 0)
+        scl_c = jax.lax.dynamic_slice_in_dim(
+            padded_scales, start, c_lists, 0
+        )
+        probed_c = jax.lax.dynamic_slice_in_dim(
+            probed, start, c_lists, 1
+        )  # (B, C)
+        if cast_bf16:
+            vecs = vecs.astype(jnp.bfloat16)
+        s = jnp.einsum(
+            "bd,lcd->blc", q_scan, vecs,
+            preferred_element_type=jnp.float32,
+        )  # (B, C, cap) f32
+        s = s * scl_c[None]
+        # The last chunk may re-read lists already covered (start is
+        # clamped when c_lists does not divide L); mask them out.
+        fresh = (start + iota_c) >= c * c_lists  # (C,)
+        mask = (
+            (ids_c >= 0)[None]
+            & probed_c[:, :, None]
+            & fresh[None, :, None]
+        )
+        if tol_val > 0:
+            prec_c = jax.lax.dynamic_slice_in_dim(
+                padded_prec, start, c_lists, 0
+            )
+            mask &= _window_mask(
+                q_prec[:, None, None], prec_c[None], charge,
+                tol_val, tol_mode,
+            )
+        s = jnp.where(mask, s, -jnp.inf)
+        sm, pos_m = jax.lax.top_k(s, m)  # (B, C, m) over the cap axis
+        # Certificate bookkeeping: the best dropped score per query.
+        n_valid = jnp.sum(mask, axis=-1)  # (B, C)
+        trunc_best = jnp.where(n_valid > m, sm[..., -1], -jnp.inf)
+        viol = jnp.maximum(viol, jnp.max(trunc_best, axis=-1))
+        # Merge into the running buffer (global flat positions).
+        cand_pos = (
+            (start + iota_c)[None, :, None] * cap + pos_m
+        ).reshape(b, c_lists * m)
+        all_s = jnp.concatenate([run_s, sm.reshape(b, -1)], axis=1)
+        all_pos = jnp.concatenate([run_pos, cand_pos], axis=1)
+        run_s, sel = jax.lax.top_k(all_s, k_run)
+        run_pos = jnp.take_along_axis(all_pos, sel, axis=1)
+        return (run_s, run_pos, viol), None
+
+    init = (
+        jnp.full((b, k_run), -jnp.inf, jnp.float32),
+        jnp.zeros((b, k_run), jnp.int32),
+        jnp.full((b,), -jnp.inf, jnp.float32),
+    )
+    (run_s, run_pos, viol), _ = jax.lax.scan(
+        chunk_fn, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    lists = run_pos // cap
+    slots = run_pos - lists * cap
+    run_i = jnp.where(
+        run_s > -jnp.inf, padded_ids[lists, slots], -1
+    )
+    # Exactness certificate: -inf tau means the buffer never filled, so
+    # ANY truncation may have dropped entries that belong in it.
+    tau = run_s[:, -1]
+    inexact = (viol > -jnp.inf) & (viol >= tau)
+
+    if padded_prev is not None:
+        keep = (run_s > -jnp.inf) & _prev_keep_mask(
+            lists, slots, probed, padded_prev
+        )
+        sc = jnp.where(keep, run_s, -jnp.inf)
+        k_out = min(k, k_run)
+        out_s, pos2 = jax.lax.top_k(sc, k_out)
+        out_i = jnp.take_along_axis(run_i, pos2, axis=1)
+        out_i = jnp.where(out_s > -jnp.inf, out_i, -1)
+    elif k_run > k:
+        out_s, out_i = _dedup_topk(run_s, run_i, k)
+    else:
+        out_s, out_i = run_s, run_i
+    out_s, out_i = _pad_topk(out_s, out_i, k)
+    return out_s, out_i, inexact
+
+
+def chunked_scan_params(
+    l: int, cap: int, num_probe: int, k_scan: int, b: int
+):
+    """(list_m, list_chunk) for `_ivf_search_chunked`.
+
+    `list_m` is the per-list selection width: the expected share of one
+    list in a query's top-k_scan is k_scan / num_probe, kept with 4x
+    skew headroom (the certificate catches -- and the per-query oracle
+    repairs -- the tail beyond it).  `list_chunk` bounds the per-chunk
+    (B, C, cap) f32 score transient to `_CHUNK_TRANSIENT`.
+    """
+    list_m = min(cap, max(32, -(-4 * k_scan // max(num_probe, 1))))
+    c_max = max(1, _CHUNK_TRANSIENT // (max(b, 1) * cap * 4))
+    list_chunk = min(l, c_max)
+    if l % list_chunk:
+        # Prefer an exact divisor close below (avoids the clamped
+        # duplicate-masked last chunk); keep the non-divisor otherwise.
+        for c in range(list_chunk, list_chunk // 2, -1):
+            if l % c == 0:
+                list_chunk = c
+                break
+    return list_m, list_chunk
 
 
 @partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
@@ -811,6 +1020,7 @@ class IvfIndex:
         self.padded_prev = padded_prev if self.redundancy > 1 else None
         self._device = None
         self._device_prev = None
+        self._device_prev_src = None
         # Sticky: once a query batch shows tile-level list sharing does
         # not pay (most rows overflow the vote budget), later batches on
         # this index go straight to the per-query scan.
@@ -837,7 +1047,12 @@ class IvfIndex:
         return total / max(n, 1)
 
     def device_arrays(self):
-        """Index blocks resident on the default device (uploaded once)."""
+        """Index blocks resident on the default device (uploaded once).
+
+        `padded_prev` shares the cache slot: reassigning or clearing it
+        after the first call takes effect on the next call (round-3
+        ADVICE -- a stale `_device_prev` would silently flip the dedup
+        mode)."""
         if self._device is None:
             self._device = (
                 jnp.asarray(self.padded_vectors),
@@ -846,8 +1061,14 @@ class IvfIndex:
                 jnp.asarray(self.padded_scales),
                 jnp.asarray(self.centroids, jnp.float32),
             )
-            if self.padded_prev is not None:
-                self._device_prev = jnp.asarray(self.padded_prev)
+            self._device_prev = None
+            self._device_prev_src = None
+        if self.padded_prev is not self._device_prev_src:
+            self._device_prev_src = self.padded_prev
+            self._device_prev = (
+                None if self.padded_prev is None
+                else jnp.asarray(self.padded_prev)
+            )
         return self._device
 
     # ------------------------------------------------------------------ #
@@ -1119,7 +1340,8 @@ class IvfIndex:
         queries_d = jnp.asarray(queries, jnp.float32)
         q_prec_d = jnp.asarray(q_prec, jnp.float32)
 
-        # Regime dispatch (round-3 profiling, VERDICT r2 #1):
+        # Regime dispatch (round-3 profiling, VERDICT r2 #1; chunked
+        # regime round 4, VERDICT r3 missing #1):
         # * full scan -- when a tile's probed-list union covers the
         #   library (num_probe * tile >= num_list), voting buys nothing
         #   and every query used to overflow into the per-query rerun.
@@ -1127,13 +1349,15 @@ class IvfIndex:
         #   per query than per-query probe gathers whenever
         #   L/tile < num_probe; the (T, L, cap) f32 score transient must
         #   also fit comfortably in HBM.
+        # * chunked scan -- same covering-union condition but the score
+        #   transient no longer fits (multi-million-row libraries): the
+        #   list block streams from HBM once per _CHUNK_TQ queries with
+        #   hierarchical per-list selection and a certificate-verified
+        #   per-query-oracle repair path.
         # * voting budget -- large libraries where probe unions share.
         # * per-query gather -- the exact fallback / oracle.
-        full_scan = (
-            l <= num_probe * _TILE_Q
-            and l * cap * 4 * _TILE_Q <= (1 << 28)  # 256 MB transient
-        )
-        if full_scan:
+        union_covers = l <= num_probe * _TILE_Q
+        if union_covers and l * cap * 4 * _TILE_Q <= _FULLSCAN_TRANSIENT:
             b_pad = _TILE_Q * _next_pow2(-(-b // _TILE_Q))
             if b_pad != b:
                 queries_d = jnp.pad(queries_d, ((0, b_pad - b), (0, 0)))
@@ -1144,12 +1368,24 @@ class IvfIndex:
                 num_probe, k, k_scan, tol_val, tol_mode,
             )
             return out_ids[:b], out_scores[:b]
+        if union_covers:
+            return self._search_chunked(
+                queries_d, q_prec_d, charge_d, b, num_probe, k, k_scan,
+                tol_val, tol_mode,
+            )
 
         budget = min(l, max(_TILE_LIST_SLACK * num_probe, num_probe + 8))
         if self._tiles_degenerate and budget < l:
             # Sticky fast path: this index's query sets share too few
-            # lists for tile-level scanning; go straight to the exact
-            # per-query gather scan.
+            # lists for tile-level scanning.  The chunked full scan
+            # amortizes the library stream over _CHUNK_TQ queries and
+            # beats per-query gathers whenever L / _CHUNK_TQ <
+            # num_probe; otherwise the exact per-query gather scan.
+            if l <= num_probe * _CHUNK_TQ:
+                return self._search_chunked(
+                    queries_d, q_prec_d, charge_d, b, num_probe, k,
+                    k_scan, tol_val, tol_mode,
+                )
             b_pad = _next_pow2(b)
             if b_pad != b:
                 queries_d = jnp.pad(queries_d, ((0, b_pad - b), (0, 0)))
@@ -1200,6 +1436,77 @@ class IvfIndex:
         out_ids = out_ids.at[rows_d].set(r_ids)
         out_scores = out_scores.at[rows_d].set(r_scores)
         return out_ids[:b], out_scores[:b]
+
+    def _search_chunked(
+        self, queries_d, q_prec_d, charge_d, b: int,
+        num_probe: int, k: int, k_scan: int,
+        tol_val: float, tol_mode: str,
+    ):
+        """Big-library chunked scan over `_CHUNK_TQ`-query super-tiles.
+
+        Runs `_ivf_search_chunked` per super-tile (the library block
+        streams from HBM once per super-tile), accumulates the per-query
+        exactness certificates, and repairs the rare flagged queries
+        through the exact per-query gather scan -- results are identical
+        to `_ivf_search_perquery` by construction.
+        """
+        vectors_d, ids_d, prec_d, scales_d, centroids_d = (
+            self.device_arrays()
+        )
+        prev_d = self._device_prev
+        l, cap, _ = self.padded_vectors.shape
+        out_ids, out_scores, flags = [], [], []
+        for start in range(0, b, _CHUNK_TQ):
+            stop = min(start + _CHUNK_TQ, b)
+            n = stop - start
+            n_pad = _next_pow2(n)
+            qt = queries_d[start:stop]
+            qpt = q_prec_d[start:stop]
+            if n_pad != n:
+                qt = jnp.pad(qt, ((0, n_pad - n), (0, 0)))
+                qpt = jnp.pad(qpt, (0, n_pad - n))
+            list_m, list_chunk = chunked_scan_params(
+                l, cap, num_probe, k_scan, n_pad
+            )
+            s, i, inexact = _ivf_search_chunked(
+                vectors_d, ids_d, prec_d, scales_d, prev_d, centroids_d,
+                qt, qpt, charge_d, num_probe, k, k_scan,
+                list_m, list_chunk, tol_val, tol_mode,
+            )
+            out_scores.append(s[:n])
+            out_ids.append(i[:n])
+            flags.append(inexact[:n])
+        out_scores = (
+            jnp.concatenate(out_scores) if len(out_scores) > 1
+            else out_scores[0]
+        )
+        out_ids = (
+            jnp.concatenate(out_ids) if len(out_ids) > 1 else out_ids[0]
+        )
+        flags = jnp.concatenate(flags) if len(flags) > 1 else flags[0]
+        flags_np = np.asarray(flags)  # one small download
+        n_retry = int(flags_np.sum())
+        if n_retry == 0:
+            return out_ids, out_scores
+        logger.debug(
+            "IVF chunked-scan certificate flagged %d/%d queries; "
+            "per-query repair", n_retry, b,
+        )
+        retry_rows = np.nonzero(flags_np)[0]
+        n_pad = _next_pow2(n_retry)
+        rows_d = jnp.asarray(
+            np.concatenate(
+                [retry_rows, np.full(n_pad - n_retry, retry_rows[0])]
+            ).astype(np.int32)
+        )
+        r_scores, r_ids = _ivf_search_perquery(
+            vectors_d, ids_d, prec_d, scales_d, prev_d, centroids_d,
+            queries_d[rows_d], q_prec_d[rows_d], charge_d,
+            num_probe, k, k_scan, tol_val, tol_mode,
+        )
+        out_ids = out_ids.at[rows_d].set(r_ids)
+        out_scores = out_scores.at[rows_d].set(r_scores)
+        return out_ids, out_scores
 
 
 def bruteforce_search(

@@ -55,6 +55,7 @@ def _cli_args(lib, queries, out, mode, parsed):
         "--num_list", str(parsed.num_list),
         "--num_probe", str(parsed.num_probe),
         "--num_candidates", str(parsed.num_candidates),
+        "--index_dtype", str(parsed.index_dtype),
         "--fdr", str(parsed.fdr),
         "--add_decoys",
     ]
@@ -195,12 +196,23 @@ def main(args=None) -> int:
     parser.add_argument("--model", default="none",
                         choices=["none", "rf", "svm"])
     parser.add_argument("--open-tolerance", type=float, default=300.0)
-    parser.add_argument("--num_list", type=int, default=2048)
+    parser.add_argument("--num_list", type=int, default=4096)
     parser.add_argument("--num_probe", type=int, default=128)
     parser.add_argument("--num_candidates", type=int, default=1024)
+    parser.add_argument("--index_dtype", default="bf16",
+                        choices=["bf16", "f32", "int8"],
+                        help="IVF list storage precision for the ann "
+                        "pass (measures the SQ8 quality impact)")
     parser.add_argument("--skip-bf", action="store_true",
                         help="skip the brute-force pass (and the recall "
                         "curve) for quick smoke runs")
+    parser.add_argument("--reuse-bf", action="store_true",
+                        help="reuse an existing bf.mztab in --workdir "
+                        "instead of re-running the brute-force pass "
+                        "(the bf result is index-hyperparameter-"
+                        "independent, so operating-point sweeps only "
+                        "pay it once; requires a stable --workdir and "
+                        "--seed)")
     parsed = parser.parse_args(args)
 
     logging.basicConfig(
@@ -261,11 +273,19 @@ def main(args=None) -> int:
     modes = ["ann"] if parsed.skip_bf else ["bf", "ann"]
     for mode in modes:
         out_path = os.path.join(workdir, f"{mode}.mztab")
+        reused = (
+            mode == "bf" and parsed.reuse_bf and os.path.isfile(out_path)
+        )
         t0 = time.perf_counter()
-        cli_main(_cli_args(lib_path, query_path, out_path, mode, parsed))
+        if not reused:
+            cli_main(
+                _cli_args(lib_path, query_path, out_path, mode, parsed)
+            )
         elapsed = time.perf_counter() - t0
         stats = _mztab_stats(out_path, truth, parsed)
-        stats["search_seconds"] = round(elapsed, 1)
+        stats["search_seconds"] = None if reused else round(elapsed, 1)
+        if reused:
+            stats["reused_bf_mztab"] = True
         results[mode] = stats
         logger.info("%s: %s", mode, json.dumps(stats))
     if not parsed.skip_bf:

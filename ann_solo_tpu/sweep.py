@@ -181,6 +181,8 @@ def main(args=None) -> int:
     parser.add_argument("--model", default="none")
     parser.add_argument("--open-tolerance", type=float, default=300.0)
     parser.add_argument("--num_candidates", type=int, default=1024)
+    parser.add_argument("--index_dtype", default="bf16",
+                        choices=["bf16", "f32", "int8"])
     parser.add_argument("--skip-bf", action="store_true")
     parsed = parser.parse_args(args)
     if parsed.spectrum:

@@ -278,11 +278,15 @@ def main():
     log(f"final-batch self-match hit rate: {final_hit_rate:.3f}")
     # Accuracy gate (raised from 0.83 after x2 redundant assignment):
     # noised self-queries must match their source row. A drop below 0.95
-    # means a probing/selection regression that throughput cannot excuse.
+    # means a probing/selection regression that throughput cannot excuse
+    # -- the process exits non-zero AFTER printing the metrics line, so
+    # automated runs fail visibly (round-3 ADVICE: a WARNING-only gate
+    # is not a gate).
     HIT_RATE_GATE = 0.95
-    if final_hit_rate < HIT_RATE_GATE:
+    gate_passed = final_hit_rate >= HIT_RATE_GATE
+    if not gate_passed:
         log(
-            f"WARNING: self-match hit rate {final_hit_rate:.3f} below "
+            f"FAIL: self-match hit rate {final_hit_rate:.3f} below "
             f"gate {HIT_RATE_GATE} -- quality regression"
         )
 
@@ -324,13 +328,15 @@ def main():
                 "mxu_mfu_estimate": round(mfu, 4),
                 "self_match_hit_rate": round(final_hit_rate, 3),
                 "hit_rate_gate": HIT_RATE_GATE,
-                "hit_rate_gate_passed": final_hit_rate >= HIT_RATE_GATE,
+                "hit_rate_gate_passed": gate_passed,
                 "tuned_num_candidates": TUNED_CANDIDATES,
                 "tuned_queries_per_sec": round(tuned_qps, 2),
                 "tuned_self_match_hit_rate": round(tuned_hit, 3),
             }
         )
     )
+    if not gate_passed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

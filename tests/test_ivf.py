@@ -424,6 +424,159 @@ def test_three_regime_parity():
         assert got == want, f"budget e2e vs oracle, query {q}"
 
 
+def test_chunked_scan_parity_and_certificate():
+    """The big-library chunked scan (`_ivf_search_chunked`) must equal
+    the full-library tile scan when nothing truncates, and its
+    exactness certificate must be SOUND: every unflagged query's result
+    matches the fullscan oracle even when per-list truncation is forced
+    with a tiny `list_m`."""
+    import jax.numpy as jnp
+
+    from ann_solo_tpu.index.ivf import (
+        _ivf_search_chunked,
+        _ivf_search_fullscan,
+    )
+
+    rng = np.random.default_rng(53)
+    n, d, l = 20000, 64, 512
+    vectors = _clustered_vectors(rng, n=n, d=d, n_clusters=32)
+    prec = np.sort(rng.uniform(400, 1200, n)).astype(np.float32)
+    index = IvfIndex.build(
+        vectors, IvfConfig(num_list=l, num_probe=16), redundancy=2,
+        storage_dtype=np.float32, precursor_mz=prec,
+    )
+    b, k, p = 256, 32, 16
+    rows = rng.choice(n, b, replace=False)
+    queries = vectors[rows] + 0.05 * rng.normal(size=(b, d)).astype(
+        np.float32
+    )
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    q_prec = prec[rows].copy()
+
+    vecs_d, ids_d, prec_d, scales_d, cents_d = index.device_arrays()
+    prev_d = index._device_prev
+    cap = index.padded_vectors.shape[1]
+    args = (
+        vecs_d, ids_d, prec_d, scales_d, prev_d, cents_d,
+        jnp.asarray(queries), jnp.asarray(q_prec), jnp.float32(2.0),
+    )
+    k_scan = index.redundancy * k
+    s_full, i_full = _ivf_search_fullscan(
+        *args, p, k, k_scan, 50.0, "Da"
+    )
+
+    # list_m = cap: no truncation possible -> exact, nothing flagged.
+    # list_chunk = 48 does NOT divide 512: exercises the clamped
+    # duplicate-masked last chunk.
+    s_c, i_c, inexact = _ivf_search_chunked(
+        *args, p, k, k_scan, cap, 48, 50.0, "Da"
+    )
+    assert not np.asarray(inexact).any()
+    for q in range(b):
+        got = set(np.asarray(i_c[q])[np.asarray(i_c[q]) >= 0].tolist())
+        want = set(
+            np.asarray(i_full[q])[np.asarray(i_full[q]) >= 0].tolist()
+        )
+        assert got == want, f"chunked vs fullscan, query {q}"
+    np.testing.assert_allclose(
+        np.sort(np.asarray(s_c), axis=1),
+        np.sort(np.asarray(s_full), axis=1),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # Small list_m: clustered queries concentrate candidates in few
+    # lists, so truncation must fire for some queries -- and every
+    # UNFLAGGED query must still match the oracle exactly (certificate
+    # soundness).  k_scan/p = 4 entries/list on average; 8 truncates
+    # the skewed tail only.
+    s_t, i_t, flags = _ivf_search_chunked(
+        *args, p, k, k_scan, 8, 64, 50.0, "Da"
+    )
+    flags = np.asarray(flags)
+    assert flags.any(), "tiny list_m must truncate some query's list"
+    assert not flags.all(), "certificate must clear untruncated queries"
+    for q in np.nonzero(~flags)[0]:
+        got = set(np.asarray(i_t[q])[np.asarray(i_t[q]) >= 0].tolist())
+        want = set(
+            np.asarray(i_full[q])[np.asarray(i_full[q]) >= 0].tolist()
+        )
+        assert got == want, f"unflagged query {q} diverged from oracle"
+
+
+def test_chunked_dispatch_end_to_end(monkeypatch):
+    """`search_device` must route big-transient covering-union batches
+    through the chunked scan + certificate repair and return results
+    identical to the fullscan regime (forced via the dispatch
+    thresholds, including the super-tile split and the per-query repair
+    of flagged rows)."""
+    from ann_solo_tpu.index import ivf as ivf_mod
+
+    rng = np.random.default_rng(59)
+    n, d, l = 20000, 64, 512
+    vectors = _clustered_vectors(rng, n=n, d=d, n_clusters=32)
+    prec = np.sort(rng.uniform(400, 1200, n)).astype(np.float32)
+    index = IvfIndex.build(
+        vectors, IvfConfig(num_list=l, num_probe=16), redundancy=2,
+        storage_dtype=np.float32, precursor_mz=prec,
+    )
+    b, k = 320, 32  # non-pow2, > super-tile after the monkeypatch
+    rows = rng.choice(n, b, replace=False)
+    queries = vectors[rows] + 0.05 * rng.normal(size=(b, d)).astype(
+        np.float32
+    )
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    q_prec = prec[rows].copy()
+
+    want = index.search(
+        queries, k, num_probe=16, q_prec=q_prec, charge=2.0,
+        tol_val=50.0, tol_mode="Da",
+    )  # fullscan regime (l <= p * tile, transient fits)
+
+    monkeypatch.setattr(ivf_mod, "_FULLSCAN_TRANSIENT", 0)
+    monkeypatch.setattr(ivf_mod, "_CHUNK_TQ", 128)
+    got = index.search(
+        queries, k, num_probe=16, q_prec=q_prec, charge=2.0,
+        tol_val=50.0, tol_mode="Da",
+    )
+    for q in range(b):
+        sa = set(got[q][got[q] >= 0].tolist())
+        sb = set(want[q][want[q] >= 0].tolist())
+        assert sa == sb, f"query {q}"
+
+
+def test_chunked_repair_path(monkeypatch):
+    """Force truncation through `chunked_scan_params` (tiny list_m) so
+    the certificate repair path actually runs end-to-end; results must
+    still equal the per-query oracle."""
+    from ann_solo_tpu.index import ivf as ivf_mod
+
+    rng = np.random.default_rng(61)
+    n, d, l = 20000, 64, 512
+    vectors = _clustered_vectors(rng, n=n, d=d, n_clusters=32)
+    index = IvfIndex.build(
+        vectors, IvfConfig(num_list=l, num_probe=16), redundancy=2,
+        storage_dtype=np.float32,
+    )
+    b, k = 192, 32
+    rows = rng.choice(n, b, replace=False)
+    queries = vectors[rows] + 0.05 * rng.normal(size=(b, d)).astype(
+        np.float32
+    )
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    want = index.search(queries, k, num_probe=16)
+    monkeypatch.setattr(ivf_mod, "_FULLSCAN_TRANSIENT", 0)
+    monkeypatch.setattr(
+        ivf_mod, "chunked_scan_params",
+        lambda l_, cap, p_, ks, b_: (2, 64),
+    )
+    got = index.search(queries, k, num_probe=16)
+    for q in range(b):
+        sa = set(got[q][got[q] >= 0].tolist())
+        sb = set(want[q][want[q] >= 0].tolist())
+        assert sa == sb, f"query {q}"
+
+
 def test_no_duplicate_ids_when_probe_set_smaller_than_k():
     """A tiny probed set (p * cap <= k) must still never surface an id
     twice under redundant storage -- FAISS never returns duplicate
