@@ -103,8 +103,12 @@ def sharded_kmeans_step(
     lib_vectors,  # (N, D) sharded over the full mesh
     centroids,  # (L, D) replicated
 ):
-    """One spherical k-means update with library rows sharded over ICI."""
+    """One spherical k-means update with library rows sharded over the
+    WHOLE mesh -- every axis, including 'dcn' on multi-slice meshes (the
+    per-iteration reduction is one small (L, D+1) psum, so the DCN leg
+    carries centroids only, never rows)."""
     l = centroids.shape[0]
+    axes = tuple(mesh.axis_names)
 
     def local(lib_l, centroids_l):
         weights = (jnp.sum(lib_l * lib_l, axis=1) > 0).astype(jnp.float32)
@@ -119,8 +123,8 @@ def sharded_kmeans_step(
         counts = jax.ops.segment_sum(
             weights[:, None], ids, num_segments=l
         )
-        sums = jax.lax.psum(sums, ("dp", "lib"))
-        counts = jax.lax.psum(counts, ("dp", "lib"))
+        sums = jax.lax.psum(sums, axes)
+        counts = jax.lax.psum(counts, axes)
         new_centroids = jnp.where(
             counts > 0, sums / jnp.maximum(counts, 1.0), centroids_l
         )
@@ -130,7 +134,7 @@ def sharded_kmeans_step(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(("dp", "lib"), None), P(None, None)),
+        in_specs=(P(axes, None), P(None, None)),
         out_specs=P(None, None),
         check_vma=False,
     )

@@ -220,22 +220,49 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _list_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """The mesh axes lists shard over: ('dcn', 'lib') on multi-slice
+    meshes (row-major, matching `_local_ivf_scan`'s flat shard index),
+    ('lib',) otherwise."""
+    return tuple(a for a in ("dcn", "lib") if a in mesh.axis_names)
+
+
+def _n_list_shards(mesh: Mesh) -> int:
+    n = 1
+    for a in _list_axes(mesh):
+        n *= mesh.shape[a]
+    return n
+
+
+def _list_spec(mesh: Mesh, n_trailing: int) -> P:
+    axes = _list_axes(mesh)
+    return P(axes if len(axes) > 1 else axes[0], *([None] * n_trailing))
+
+
 def _place_lib_blocks(mesh: Mesh, blocks, spec: P):
-    """Assemble a global array sharded over 'lib' from per-shard host
-    blocks, placing each block straight onto its devices (dp replicas
-    get copies) -- the full array never exists on one device or as one
-    host buffer beyond the input list."""
+    """Assemble a global array sharded over the list axes from per-shard
+    host blocks, placing each block straight onto its devices (dp
+    replicas get copies) -- the full array never exists on one device or
+    as one host buffer beyond the input list.
+
+    On a ('dcn', 'dp', 'lib') mesh block `i` lands on the devices whose
+    (dcn, lib) coordinates flatten row-major to `i`: slice-local blocks
+    go to slice-local chips, so the placement uploads are host->ICI
+    within each slice and nothing crosses DCN at build time."""
     global_shape = (
         len(blocks) * blocks[0].shape[0],
     ) + blocks[0].shape[1:]
     sharding = NamedSharding(mesh, spec)
+    names = mesh.axis_names
+    la = _list_axes(mesh)
     buffers = []
-    devices = mesh.devices  # (dp, lib) grid
-    for i_dp in range(devices.shape[0]):
-        for i_lib in range(devices.shape[1]):
-            buffers.append(
-                jax.device_put(blocks[i_lib], devices[i_dp, i_lib])
-            )
+    for idx in np.ndindex(mesh.devices.shape):
+        shard = 0
+        for a in la:
+            shard = shard * mesh.shape[a] + idx[names.index(a)]
+        buffers.append(
+            jax.device_put(blocks[shard], mesh.devices[idx])
+        )
     return jax.make_array_from_single_device_arrays(
         global_shape, sharding, buffers
     )
@@ -246,30 +273,30 @@ class ShardedIvfIndex:
 
     def __init__(self, mesh: Mesh, index):
         n_lists = index.padded_vectors.shape[0]
-        lib_shards = mesh.shape["lib"]
-        if n_lists % lib_shards != 0:
+        n_shards = _n_list_shards(mesh)
+        if n_lists % n_shards != 0:
             raise ValueError(
-                f"num_list={n_lists} must divide lib shards={lib_shards}"
+                f"num_list={n_lists} must divide list shards={n_shards}"
             )
         self.mesh = mesh
         self.num_probe = index.num_probe
         self.redundancy = getattr(index, "redundancy", 1)
-        self.lists_per_shard = n_lists // lib_shards
+        self.lists_per_shard = n_lists // n_shards
         self.vectors_s = jax.device_put(
             jnp.asarray(index.padded_vectors),
-            NamedSharding(mesh, P("lib", None, None)),
+            NamedSharding(mesh, _list_spec(mesh, 2)),
         )
         self.ids_s = jax.device_put(
             jnp.asarray(index.padded_ids),
-            NamedSharding(mesh, P("lib", None)),
+            NamedSharding(mesh, _list_spec(mesh, 1)),
         )
         self.prec_s = jax.device_put(
             jnp.asarray(index.padded_prec, jnp.float32),
-            NamedSharding(mesh, P("lib", None)),
+            NamedSharding(mesh, _list_spec(mesh, 1)),
         )
         self.scales_s = jax.device_put(
             jnp.asarray(index.padded_scales, jnp.float32),
-            NamedSharding(mesh, P("lib", None)),
+            NamedSharding(mesh, _list_spec(mesh, 1)),
         )
         self.centroids_s = jax.device_put(
             jnp.asarray(index.centroids, jnp.float32),
@@ -279,7 +306,7 @@ class ShardedIvfIndex:
         self.prev_s = (
             jax.device_put(
                 jnp.asarray(prev),
-                NamedSharding(mesh, P("lib", None, None)),
+                NamedSharding(mesh, _list_spec(mesh, 2)),
             )
             if prev is not None
             else None
@@ -338,10 +365,15 @@ class ShardedIvfIndex:
                 redundancy = int(config.ivf_redundancy)
             except (KeyError, AttributeError):
                 redundancy = 2
-        lib_shards = mesh.shape["lib"]
+        # On a ('dcn', 'dp', 'lib') multi-slice mesh, lists shard over
+        # the combined ('dcn', 'lib') axes: each slice's chips pack and
+        # hold their own contiguous list range, placement uploads stay
+        # within the slice (host->ICI), and only the O(L x D) centroid
+        # psum of k-means training crosses DCN during the build.
+        lib_shards = _n_list_shards(mesh)
         if num_list % lib_shards != 0:
             raise ValueError(
-                f"num_list={num_list} must divide lib shards={lib_shards}"
+                f"num_list={num_list} must divide list shards={lib_shards}"
             )
         vectors = np.asarray(vectors)
         n, d = vectors.shape
@@ -430,12 +462,16 @@ class ShardedIvfIndex:
         index.redundancy = r_eff
         index.lists_per_shard = lists_per_shard
         index.vectors_s = _place_lib_blocks(
-            mesh, vec_blocks, P("lib", None, None)
+            mesh, vec_blocks, _list_spec(mesh, 2)
         )
-        index.ids_s = _place_lib_blocks(mesh, ids_blocks, P("lib", None))
-        index.prec_s = _place_lib_blocks(mesh, prec_blocks, P("lib", None))
+        index.ids_s = _place_lib_blocks(
+            mesh, ids_blocks, _list_spec(mesh, 1)
+        )
+        index.prec_s = _place_lib_blocks(
+            mesh, prec_blocks, _list_spec(mesh, 1)
+        )
         index.scales_s = _place_lib_blocks(
-            mesh, scale_blocks, P("lib", None)
+            mesh, scale_blocks, _list_spec(mesh, 1)
         )
         index.prev_s = (
             _place_lib_blocks(
@@ -447,7 +483,7 @@ class ShardedIvfIndex:
                     ]
                     for s_idx in range(lib_shards)
                 ],
-                P("lib", None, None),
+                _list_spec(mesh, 2),
             )
             if prev_global is not None
             else None
@@ -496,7 +532,7 @@ class ShardedIvfIndex:
             )
         train_s = jax.device_put(
             jnp.asarray(train, jnp.float32),
-            NamedSharding(mesh, P(("dp", "lib"), None)),
+            NamedSharding(mesh, P(tuple(mesh.axis_names), None)),
         )
         init_s = jax.device_put(
             jnp.asarray(init), NamedSharding(mesh, P())
@@ -572,7 +608,11 @@ class ShardedIvfIndex:
         q_prec_s = jax.device_put(
             q_prec_d, NamedSharding(self.mesh, P("dp"))
         )
-        ids, scores = _sharded_ivf_impl(
+        impl = (
+            _multislice_ivf_impl if "dcn" in self.mesh.axis_names
+            else _sharded_ivf_impl
+        )
+        ids, scores = impl(
             self.mesh, queries_s, q_prec_s,
             self.vectors_s, self.ids_s, self.prec_s, self.scales_s,
             self.centroids_s,

@@ -99,6 +99,70 @@ def test_sharded_kmeans_trains_comparable_quantizer(mesh):
     assert r_sharded >= r_single - 0.1, (r_single, r_sharded)
 
 
+def test_multislice_born_sharded_build():
+    """DCN-aware born-sharded build: on a ('dcn', 'dp', 'lib') mesh the
+    lists shard over the combined ('dcn', 'lib') axes -- placement must
+    stay byte-identical to the single-device build, per-device memory
+    must stay bounded by ONE shard block, and the multi-slice search
+    must agree with the single-device index end to end."""
+    from ann_solo_tpu.parallel.mesh import make_multislice_mesh
+
+    mesh = make_multislice_mesh(2, 4, dp_size=2)  # (dcn=2, dp=2, lib=2)
+    rng = np.random.default_rng(37)
+    vectors = _vectors(rng)
+    prec = rng.uniform(400, 1200, len(vectors)).astype(np.float32)
+    cfg = Cfg(num_list=16, num_probe=8)
+    single = IvfIndex.build(
+        vectors, cfg, precursor_mz=prec, storage_dtype=np.float32
+    )
+    sharded = ShardedIvfIndex.build_sharded(
+        mesh, vectors, cfg, precursor_mz=prec,
+        storage_dtype=np.float32, centroids=single.centroids,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.ids_s), np.asarray(single.padded_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vectors_s), np.asarray(single.padded_vectors)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.prec_s), np.asarray(single.padded_prec)
+    )
+    # Per-device memory bound: each device holds exactly one of the
+    # dcn*lib=4 shard blocks (dp replicas are copies, not extra shards).
+    shard_bytes = max(
+        s.data.nbytes for s in sharded.vectors_s.addressable_shards
+    )
+    assert shard_bytes * 4 == sharded.vectors_s.nbytes
+    # List shard i must live on the devices whose (dcn, lib) coords
+    # flatten row-major to i (slice-local placement).
+    lists_per_shard = sharded.lists_per_shard
+    dev_grid = mesh.devices
+    for s in sharded.ids_s.addressable_shards:
+        coords = np.argwhere(dev_grid == s.device)[0]
+        shard_idx = coords[0] * mesh.shape["lib"] + coords[2]
+        lo = shard_idx * lists_per_shard
+        np.testing.assert_array_equal(
+            np.asarray(s.data),
+            np.asarray(single.padded_ids)[lo : lo + lists_per_shard],
+        )
+
+    queries = vectors[rng.choice(len(vectors), 64, replace=False)]
+    queries += 0.05 * rng.normal(size=queries.shape).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    ids_single = single.search(queries, 16, num_probe=16)
+    ids_sharded = sharded.search(queries, 16, num_probe=16)
+    np.testing.assert_array_equal(ids_single, ids_sharded)
+
+    # Fully sharded training (no centroids passed) exercises the
+    # all-axes psum k-means on the multi-slice mesh.
+    trained = ShardedIvfIndex.build_sharded(
+        mesh, vectors, cfg, precursor_mz=prec, storage_dtype=np.float32
+    )
+    got = trained.search(queries, 16, num_probe=16)
+    assert (got >= 0).any()
+
+
 def test_sharded_build_int8(mesh):
     """SQ8 storage (the 100M-scale memory mode) through the sharded
     build: per-row scales survive the per-shard packing."""
