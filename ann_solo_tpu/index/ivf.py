@@ -573,7 +573,7 @@ def _ivf_search_fullscan(
     return scores_t.reshape(b, k), ids_t.reshape(b, k)
 
 
-@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
+@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
 def _ivf_search_chunked(
     padded_vectors,  # (L, cap, D) storage dtype
     padded_ids,  # (L, cap) int32, -1 = padding
@@ -587,8 +587,9 @@ def _ivf_search_chunked(
     num_probe: int,
     k: int,
     k_scan: int,  # entries selected before dedup (R * k for x-R storage)
-    list_m: int,  # entries kept per list before the merge (<= cap)
+    list_m: int,  # entries kept per COLD list before the merge (<= cap)
     list_chunk: int,  # lists scanned per chunk
+    hot_lists: int,  # top coarse lists scanned exactly per query
     tol_val: float,
     tol_mode: str,
 ):
@@ -603,14 +604,23 @@ def _ivf_search_chunked(
     ~20x off the HBM roofline, SCALE_r03).  This formulation instead
     streams the whole list block ONCE per query super-tile:
 
-    * outer `lax.scan` over chunks of `list_chunk` lists -- each chunk
-      is one contiguous (B, D) x (C * cap, D)^T MXU einsum, so HBM
-      traffic is L * cap * D bytes per `_CHUNK_TQ` queries instead of
-      per query;
+    * HOT lists first: each query's top-`hot_lists` coarse lists are
+      scanned EXACTLY via per-query gathers and seed the merge buffer.
+      IVF data is clustered by construction, so the source cluster's
+      list can contribute hundreds of a query's top-k_scan -- far more
+      than any per-list truncation width (measured: with cold-only
+      selection at list_m = 4x the mean share, ~every query failed its
+      certificate and fell back to the oracle).  H gathers of
+      (B, cap, D) cost about one extra library pass of HBM traffic and
+      remove exactly the skewed head of the distribution;
+    * outer `lax.scan` over chunks of `list_chunk` COLD lists -- each
+      chunk is one contiguous (B, D) x (C * cap, D)^T MXU einsum, so
+      HBM traffic is L * cap * D bytes per `_CHUNK_TQ` queries instead
+      of per query;
     * hierarchical selection: per-LIST top-`list_m` over the cap axis
       (narrow, cheap) feeds an incremental (B, k_scan) running top-k
       merge -- no megawide (B, L * cap) top_k row ever materializes;
-    * exactness certificate: a list is *truncated* when more than
+    * exactness certificate: a cold list is *truncated* when more than
       `list_m` of its entries pass the probe/window mask.  Entries
       dropped by truncation all score <= that list's list_m-th best, so
       a query's result is provably exact when
@@ -627,6 +637,7 @@ def _ivf_search_chunked(
     b = queries.shape[0]
     p = min(num_probe, l)
     m = min(list_m, cap)
+    h = min(hot_lists, p)
     c_lists = min(list_chunk, l)
     n_chunks = -(-l // c_lists)
     k_run = min(k_scan, p * cap)
@@ -635,10 +646,52 @@ def _ivf_search_chunked(
     coarse = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
     )  # (B, L)
-    _, probe_ids = jax.lax.top_k(coarse, p)  # (B, P)
+    _, probe_ids = jax.lax.top_k(coarse, p)  # (B, P), coarse-desc order
     probed = _probe_bitmap(probe_ids, l)  # (B, L)
     q_scan = queries.astype(jnp.bfloat16) if cast_bf16 else queries
     iota_c = jnp.arange(c_lists, dtype=jnp.int32)
+
+    init_s = jnp.full((b, k_run), -jnp.inf, jnp.float32)
+    init_pos = jnp.zeros((b, k_run), jnp.int32)
+    cold = probed
+    if h > 0:
+        hot_ids = probe_ids[:, :h]  # (B, H)
+        cold = probed & ~_probe_bitmap(hot_ids, l)
+
+        def hot_fn(hl):  # (B,) list ids -> exact (B, cap) scores
+            vecs = padded_vectors[hl]  # (B, cap, D) gather
+            if cast_bf16:
+                vecs = vecs.astype(jnp.bfloat16)
+            s = jnp.einsum(
+                "bd,bcd->bc", q_scan, vecs,
+                preferred_element_type=jnp.float32,
+            )
+            s = s * padded_scales[hl]
+            ids_h = padded_ids[hl]
+            mask = ids_h >= 0
+            if tol_val > 0:
+                mask &= _window_mask(
+                    q_prec[:, None], padded_prec[hl], charge,
+                    tol_val, tol_mode,
+                )
+            return jnp.where(mask, s, -jnp.inf), hl[:, None] * cap + (
+                jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
+            )
+
+        hot_s, hot_pos = jax.lax.map(hot_fn, hot_ids.T)  # (H, B, cap)
+        hot_s = jnp.transpose(hot_s, (1, 0, 2)).reshape(b, h * cap)
+        hot_pos = jnp.transpose(hot_pos, (1, 0, 2)).reshape(b, h * cap)
+        if h * cap > k_run:
+            init_s, sel0 = jax.lax.top_k(hot_s, k_run)
+            init_pos = jnp.take_along_axis(hot_pos, sel0, axis=1)
+        else:
+            init_s, init_pos = (
+                jnp.pad(
+                    hot_s, ((0, 0), (0, k_run - h * cap)),
+                    constant_values=-jnp.inf,
+                ),
+                jnp.pad(hot_pos, ((0, 0), (0, k_run - h * cap))),
+            )
 
     def chunk_fn(carry, c):
         run_s, run_pos, viol = carry
@@ -651,8 +704,8 @@ def _ivf_search_chunked(
             padded_scales, start, c_lists, 0
         )
         probed_c = jax.lax.dynamic_slice_in_dim(
-            probed, start, c_lists, 1
-        )  # (B, C)
+            cold, start, c_lists, 1
+        )  # (B, C) -- hot lists excluded (scanned exactly above)
         if cast_bf16:
             vecs = vecs.astype(jnp.bfloat16)
         s = jnp.einsum(
@@ -692,11 +745,7 @@ def _ivf_search_chunked(
         run_pos = jnp.take_along_axis(all_pos, sel, axis=1)
         return (run_s, run_pos, viol), None
 
-    init = (
-        jnp.full((b, k_run), -jnp.inf, jnp.float32),
-        jnp.zeros((b, k_run), jnp.int32),
-        jnp.full((b,), -jnp.inf, jnp.float32),
-    )
+    init = (init_s, init_pos, jnp.full((b,), -jnp.inf, jnp.float32))
     (run_s, run_pos, viol), _ = jax.lax.scan(
         chunk_fn, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
@@ -730,14 +779,19 @@ def _ivf_search_chunked(
 def chunked_scan_params(
     l: int, cap: int, num_probe: int, k_scan: int, b: int
 ):
-    """(list_m, list_chunk) for `_ivf_search_chunked`.
+    """(list_m, list_chunk, hot_lists) for `_ivf_search_chunked`.
 
-    `list_m` is the per-list selection width: the expected share of one
-    list in a query's top-k_scan is k_scan / num_probe, kept with 4x
-    skew headroom (the certificate catches -- and the per-query oracle
-    repairs -- the tail beyond it).  `list_chunk` bounds the per-chunk
-    (B, C, cap) f32 score transient to `_CHUNK_TRANSIENT`.
+    `hot_lists` is the number of top coarse lists scanned exactly per
+    query: clustered data concentrates a query's neighbors in its best
+    few lists, so those are exempted from truncation entirely.
+    `list_m` is the per-COLD-list selection width: the expected share
+    of one cold list in a query's top-k_scan is k_scan / num_probe,
+    kept with 4x skew headroom (the certificate catches -- and the
+    per-query oracle repairs -- the tail beyond it).  `list_chunk`
+    bounds the per-chunk (B, C, cap) f32 score transient to
+    `_CHUNK_TRANSIENT`.
     """
+    hot_lists = min(4, num_probe)
     list_m = min(cap, max(32, -(-4 * k_scan // max(num_probe, 1))))
     c_max = max(1, _CHUNK_TRANSIENT // (max(b, 1) * cap * 4))
     list_chunk = min(l, c_max)
@@ -748,7 +802,7 @@ def chunked_scan_params(
             if l % c == 0:
                 list_chunk = c
                 break
-    return list_m, list_chunk
+    return list_m, list_chunk, hot_lists
 
 
 @partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
@@ -1465,13 +1519,13 @@ class IvfIndex:
             if n_pad != n:
                 qt = jnp.pad(qt, ((0, n_pad - n), (0, 0)))
                 qpt = jnp.pad(qpt, (0, n_pad - n))
-            list_m, list_chunk = chunked_scan_params(
+            list_m, list_chunk, hot_lists = chunked_scan_params(
                 l, cap, num_probe, k_scan, n_pad
             )
             s, i, inexact = _ivf_search_chunked(
                 vectors_d, ids_d, prec_d, scales_d, prev_d, centroids_d,
                 qt, qpt, charge_d, num_probe, k, k_scan,
-                list_m, list_chunk, tol_val, tol_mode,
+                list_m, list_chunk, hot_lists, tol_val, tol_mode,
             )
             out_scores.append(s[:n])
             out_ids.append(i[:n])
@@ -1486,6 +1540,7 @@ class IvfIndex:
         flags = jnp.concatenate(flags) if len(flags) > 1 else flags[0]
         flags_np = np.asarray(flags)  # one small download
         n_retry = int(flags_np.sum())
+        self._last_chunked_flagged = n_retry  # observability (SCALE.json)
         if n_retry == 0:
             return out_ids, out_scores
         logger.debug(

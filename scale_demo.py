@@ -49,13 +49,21 @@ def sharded_main(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from ann_solo_tpu.parallel.mesh import make_mesh
-    from ann_solo_tpu.parallel.sharded_ivf import ShardedIvfIndex
+    from ann_solo_tpu.parallel.mesh import make_mesh, make_multislice_mesh
+    from ann_solo_tpu.parallel.sharded_ivf import (
+        ShardedIvfIndex,
+        _n_list_shards,
+    )
 
     devices = jax.devices()
     log(f"devices: {len(devices)} x {devices[0].platform}")
-    mesh = make_mesh(len(devices))
-    lib_shards = mesh.shape["lib"]
+    if args.multislice:
+        # ('dcn', 'dp', 'lib'): two virtual slices joined over DCN --
+        # the 100M two-v5e-8-slice regime's build/search placement.
+        mesh = make_multislice_mesh(2, len(devices) // 2)
+    else:
+        mesh = make_mesh(len(devices))
+    lib_shards = _n_list_shards(mesh)
     n = args.n
     rng = np.random.default_rng(7)
     log(f"generating {n} x {D} unit vectors on host...")
@@ -116,7 +124,10 @@ def sharded_main(args) -> int:
     )
     result = {
         "metric": f"{n / 1e6:.1f}M-vector BORN-SHARDED int8 IVF build "
-        f"over a {lib_shards}-shard 'lib' mesh (virtual CPU devices)",
+        f"over a {lib_shards}-shard "
+        + ("('dcn', 'dp', 'lib')" if args.multislice else "'lib'")
+        + " mesh (virtual CPU devices)",
+        "multislice": bool(args.multislice),
         "n_vectors": n,
         "dims": D,
         "num_list": args.num_list,
@@ -152,6 +163,11 @@ def main():
         help="born-sharded build demo on the virtual CPU mesh "
         "(set JAX_PLATFORMS=cpu + xla_force_host_platform_device_count)",
     )
+    parser.add_argument(
+        "--multislice", action="store_true",
+        help="with --sharded: use a 2-slice ('dcn', 'dp', 'lib') mesh "
+        "(DCN-aware born-sharded build placement)",
+    )
     parser.add_argument("--kmeans-iters", type=int, default=8)
     parser.add_argument(
         "--redundancy", type=int, default=1,
@@ -170,12 +186,7 @@ def main():
     log(f"devices: {jax.devices()}")
     n = args.n
     rng = np.random.default_rng(7)
-    log(f"generating {n} x {D} unit vectors on host...")
-    t0 = time.perf_counter()
-    vectors = rng.standard_normal((n, D), dtype=np.float32)
-    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
     prec = np.sort(rng.uniform(400, 1200, n)).astype(np.float32)
-    log(f"  host generation: {time.perf_counter() - t0:.1f}s")
 
     class Cfg:
         num_list = args.num_list
@@ -188,13 +199,42 @@ def main():
         def __getitem__(self, key):
             return getattr(self, key)
 
+    # Unit vectors generated ON DEVICE in bounded f32 chunks (the host
+    # has one CPU core and the tunnel uploads at ~10 MB/s: host
+    # generation + upload of the 3.4 GB block measured 10+ minutes vs
+    # seconds here; bf16 storage halves the HBM footprint).
     t0 = time.perf_counter()
-    vectors_d = jnp.asarray(vectors, jnp.bfloat16)  # halve HBM footprint
+    import jax.random as jrandom
+
+    key = jrandom.PRNGKey(7)
+    chunk = 1 << 18
+    parts = []
+    for i in range(-(-n // chunk)):
+        rows = min(chunk, n - i * chunk)
+        sub = jrandom.normal(
+            jrandom.fold_in(key, i), (rows, D), jnp.float32
+        )
+        sub = sub / jnp.linalg.norm(sub, axis=1, keepdims=True)
+        parts.append(sub.astype(jnp.bfloat16))
+    vectors_d = jnp.concatenate(parts)
+    del parts
     np.asarray(vectors_d[:1, :1])  # real sync
-    t_upload = time.perf_counter() - t0
     log(
-        f"upload {vectors_d.nbytes / 1e9:.1f} GB bf16: {t_upload:.1f}s"
+        f"device-generated {vectors_d.nbytes / 1e9:.1f} GB bf16: "
+        f"{time.perf_counter() - t0:.1f}s"
     )
+
+    # Queries: noised copies of library rows (made BEFORE the build so
+    # the source block can be freed right after packing).
+    b = args.n_queries
+    query_rows = rng.choice(n, b, replace=False)
+    qsrc = vectors_d[jnp.asarray(query_rows)].astype(jnp.float32)
+    qn = qsrc + 0.02 * jrandom.normal(
+        jrandom.fold_in(key, 1 << 20), (b, D), jnp.float32
+    )
+    qn = qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
+    queries = np.asarray(qn)
+    q_prec = prec[query_rows]
 
     t0 = time.perf_counter()
     index = IvfIndex.build(
@@ -208,15 +248,7 @@ def main():
         f"{index.bytes_per_vector:.0f} B/vector"
     )
 
-    # Free the float32 source before searching.
-    b = args.n_queries
-    query_rows = rng.choice(n, b, replace=False)
-    queries = vectors[query_rows] + 0.02 * rng.standard_normal(
-        (b, D), dtype=np.float32
-    )
-    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
-    q_prec = prec[query_rows]
-    del vectors
+    # Free the source block before searching.
     vectors_d.delete()
 
     def search():
@@ -239,9 +271,11 @@ def main():
     hit = float(
         np.mean([query_rows[i] in set(cand[i]) for i in range(b)])
     )
+    flagged = getattr(index, "_last_chunked_flagged", None)
     log(
         f"ANN select throughput at {n / 1e6:.1f}M vectors: "
-        f"{qps:.0f} queries/sec/chip, source-in-candidates {hit:.3f}"
+        f"{qps:.0f} queries/sec/chip, source-in-candidates {hit:.3f}, "
+        f"certificate repairs {flagged}/{b}"
     )
 
     per_chip_int8 = int(10e9 / (D + 6))  # ~16 GB HBM, leave scan headroom
@@ -257,6 +291,7 @@ def main():
         "index_bytes_per_vector": round(index.bytes_per_vector, 1),
         "select_queries_per_sec": round(qps, 1),
         "source_in_top_candidates": round(hit, 4),
+        "certificate_repairs_per_batch": flagged,
         "extrapolation": {
             "per_chip_int8_capacity_vectors": per_chip_int8,
             "v5e8_slice_capacity_vectors": 8 * per_chip_int8,

@@ -467,9 +467,10 @@ def test_chunked_scan_parity_and_certificate():
 
     # list_m = cap: no truncation possible -> exact, nothing flagged.
     # list_chunk = 48 does NOT divide 512: exercises the clamped
-    # duplicate-masked last chunk.
+    # duplicate-masked last chunk.  hot_lists = 2 exercises the exact
+    # hot-list gather seeding alongside the cold chunk scan.
     s_c, i_c, inexact = _ivf_search_chunked(
-        *args, p, k, k_scan, cap, 48, 50.0, "Da"
+        *args, p, k, k_scan, cap, 48, 2, 50.0, "Da"
     )
     assert not np.asarray(inexact).any()
     for q in range(b):
@@ -484,13 +485,13 @@ def test_chunked_scan_parity_and_certificate():
         rtol=1e-5, atol=1e-6,
     )
 
-    # Small list_m: clustered queries concentrate candidates in few
-    # lists, so truncation must fire for some queries -- and every
-    # UNFLAGGED query must still match the oracle exactly (certificate
-    # soundness).  k_scan/p = 4 entries/list on average; 8 truncates
-    # the skewed tail only.
+    # Small list_m with NO hot lists: clustered queries concentrate
+    # candidates in their best lists, so truncation must fire for some
+    # queries -- and every UNFLAGGED query must still match the oracle
+    # exactly (certificate soundness).  k_scan/p = 4 entries/list on
+    # average; 8 truncates the skewed head.
     s_t, i_t, flags = _ivf_search_chunked(
-        *args, p, k, k_scan, 8, 64, 50.0, "Da"
+        *args, p, k, k_scan, 8, 64, 0, 50.0, "Da"
     )
     flags = np.asarray(flags)
     assert flags.any(), "tiny list_m must truncate some query's list"
@@ -501,6 +502,21 @@ def test_chunked_scan_parity_and_certificate():
             np.asarray(i_full[q])[np.asarray(i_full[q]) >= 0].tolist()
         )
         assert got == want, f"unflagged query {q} diverged from oracle"
+
+    # Hot lists absorb the clustered head: the same small list_m with
+    # hot_lists = 4 must flag strictly fewer queries, and unflagged
+    # queries stay oracle-exact.
+    s_h, i_h, flags_h = _ivf_search_chunked(
+        *args, p, k, k_scan, 8, 64, 4, 50.0, "Da"
+    )
+    flags_h = np.asarray(flags_h)
+    assert flags_h.sum() < flags.sum(), (flags_h.sum(), flags.sum())
+    for q in np.nonzero(~flags_h)[0]:
+        got = set(np.asarray(i_h[q])[np.asarray(i_h[q]) >= 0].tolist())
+        want = set(
+            np.asarray(i_full[q])[np.asarray(i_full[q]) >= 0].tolist()
+        )
+        assert got == want, f"hot unflagged query {q} diverged"
 
 
 def test_chunked_dispatch_end_to_end(monkeypatch):
@@ -568,7 +584,7 @@ def test_chunked_repair_path(monkeypatch):
     monkeypatch.setattr(ivf_mod, "_FULLSCAN_TRANSIENT", 0)
     monkeypatch.setattr(
         ivf_mod, "chunked_scan_params",
-        lambda l_, cap, p_, ks, b_: (2, 64),
+        lambda l_, cap, p_, ks, b_: (2, 64, 0),
     )
     got = index.search(queries, k, num_probe=16)
     for q in range(b):
