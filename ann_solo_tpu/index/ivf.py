@@ -573,7 +573,28 @@ def _ivf_search_fullscan(
     return scores_t.reshape(b, k), ids_t.reshape(b, k)
 
 
-@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
+def _tie_unsafe(pool_vals, kept_vals):
+    """Boundary-tie detector for containment-based group selection.
+
+    `kept_vals` are the selected (desc-sorted) group maxima; selection
+    is only guaranteed to contain the true top-k entries when no
+    EXCLUDED group ties the selection boundary (an excluded group whose
+    max equals the k-th kept max may hold an entry that ties into the
+    final top-k).  Flags a query when the global count of groups at the
+    boundary value exceeds the kept count -- exact, and just two cheap
+    reductions.
+    """
+    boundary = kept_vals[:, -1:]
+    n_at = jnp.sum(
+        (pool_vals == boundary) & jnp.isfinite(boundary), axis=1
+    )
+    n_kept_at = jnp.sum(
+        (kept_vals == boundary) & jnp.isfinite(boundary), axis=1
+    )
+    return n_at > n_kept_at
+
+
+@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
 def _ivf_search_chunked(
     padded_vectors,  # (L, cap, D) storage dtype
     padded_ids,  # (L, cap) int32, -1 = padding
@@ -581,120 +602,84 @@ def _ivf_search_chunked(
     padded_scales,  # (L, cap) float32 (int8 dequant; 1s)
     padded_prev,  # (L, cap, R-1) int32 lower-rank copy lists, or None
     centroids,  # (L, D) float32
-    queries,  # (B, D) float32, B <= _CHUNK_TQ
+    queries,  # (B, D) float32, B <= super-tile size
     q_prec,  # (B,) float32 (ignored unless tol_val > 0)
     charge,  # () float32 (Da-mode charge scaling)
     num_probe: int,
     k: int,
     k_scan: int,  # entries selected before dedup (R * k for x-R storage)
-    list_m: int,  # entries kept per COLD list before the merge (<= cap)
+    pool_g: int,  # rows max-pooled per group (divides cap)
     list_chunk: int,  # lists scanned per chunk
-    hot_lists: int,  # top coarse lists scanned exactly per query
     tol_val: float,
     tol_mode: str,
 ):
-    """Chunked full-library scan for multi-million-row indexes.
+    """Chunked full-library scan with pooled-max hierarchical selection.
 
     The big-library regime (reference: FAISS's fused IVF scan at Kim2014
     scale, spectral_library.py:443-446; BASELINE.md 100M north star).
     When the probed-list union of a query batch covers the library but
     the (T, L, cap) score transient of `_ivf_search_fullscan` no longer
     fits, the per-query gather scan used to take over and read
-    num_probe * cap * D bytes PER QUERY (~39 MB at 2.1M rows -- measured
-    ~20x off the HBM roofline, SCALE_r03).  This formulation instead
-    streams the whole list block ONCE per query super-tile:
+    num_probe * cap * D bytes PER QUERY (~39 MB at 2.1M rows, ~20x off
+    the HBM roofline, SCALE_r03).  This formulation streams the whole
+    list block ONCE per query super-tile and -- the round-4 measurement
+    that shaped it -- keeps wide `top_k`/`approx_max_k` calls OFF the
+    hot path entirely, because on v5e they run 10-20x below the HBM
+    roofline (17.5 ms for one (65536, 768)->64 top_k; the einsum sweep
+    of the WHOLE 3.1M-row library costs 65 ms total):
 
-    * HOT lists first: each query's top-`hot_lists` coarse lists are
-      scanned EXACTLY via per-query gathers and seed the merge buffer.
-      IVF data is clustered by construction, so the source cluster's
-      list can contribute hundreds of a query's top-k_scan -- far more
-      than any per-list truncation width (measured: with cold-only
-      selection at list_m = 4x the mean share, ~every query failed its
-      certificate and fell back to the oracle).  H gathers of
-      (B, cap, D) cost about one extra library pass of HBM traffic and
-      remove exactly the skewed head of the distribution;
-    * outer `lax.scan` over chunks of `list_chunk` COLD lists -- each
-      chunk is one contiguous (B, D) x (C * cap, D)^T MXU einsum, so
-      HBM traffic is L * cap * D bytes per `_CHUNK_TQ` queries instead
-      of per query;
-    * hierarchical selection: per-LIST top-`list_m` over the cap axis
-      (narrow, cheap) feeds an incremental (B, k_scan) running top-k
-      merge -- no megawide (B, L * cap) top_k row ever materializes;
-    * exactness certificate: a cold list is *truncated* when more than
-      `list_m` of its entries pass the probe/window mask.  Entries
-      dropped by truncation all score <= that list's list_m-th best, so
-      a query's result is provably exact when
-      ``max over truncated lists of (list_m-th best) < (k_scan-th best
-      overall)``.  The returned `inexact` flag marks the rare queries
-      where the inequality fails; `search_device` re-runs exactly those
-      through the per-query oracle, keeping results identical to
-      `_ivf_search_perquery` by construction (tests/test_ivf.py).
+    * pass A: `lax.scan` over chunks of `list_chunk` lists; each chunk
+      is one contiguous (B, D) x (C * cap, D)^T MXU einsum whose
+      epilogue fuses the probe/window mask, the (storage-precision)
+      score write, and a per-`pool_g`-row-group MAX reduction --
+      measured FREE next to the einsum (65.0 -> 64.8 ms with a fused
+      reduction);
+    * selection by group containment: an entry of the true top-k_run
+      is outranked by at most k_run - 1 others, so at most k_run - 1
+      groups have a larger max than its own group's -- the top-k_run
+      groups BY MAX therefore contain every top-k_run entry.  Two
+      pooling levels keep each exact `top_k` narrow: level-2 maxima
+      (a few thousand lanes) -> top groups -> gather their level-1
+      maxima -> top groups -> gather their `pool_g` member scores ->
+      one final exact top-k_run.  No megawide selection ever runs;
+    * exactness: the only failure mode is an exact TIE at a group-
+      selection boundary (an excluded group whose max equals the k-th
+      kept max may hold a tying entry).  `_tie_unsafe` detects this
+      with two reductions per level; flagged queries re-run through
+      the per-query oracle in `search_device`, so results are
+      identical to `_ivf_search_perquery` by construction
+      (tests/test_ivf.py).  For float storage ties require exactly
+      equal f32 dot products; for bf16/int8 storage scores round to
+      bf16, so ties (and repairs) are rare but real.
 
     Probing stays exact per-query `nprobe` semantics: the probe bitmap
-    masks scores before selection, identical to the fullscan regime.
+    masks scores before pooling, identical to the fullscan regime.
     """
     l, cap, d = padded_vectors.shape
     b = queries.shape[0]
     p = min(num_probe, l)
-    m = min(list_m, cap)
-    h = min(hot_lists, p)
+    g = pool_g
+    while cap % g:
+        g -= 1  # largest divisor of cap <= pool_g (cap % 8 == 0)
     c_lists = min(list_chunk, l)
     n_chunks = -(-l // c_lists)
     k_run = min(k_scan, p * cap)
     cast_bf16 = padded_vectors.dtype != jnp.float32
+    score_dtype = jnp.bfloat16 if cast_bf16 else jnp.float32
+    npl = cap // g  # groups per list
+    inner = c_lists * cap  # scores per chunk per query
+    n_groups = n_chunks * c_lists * npl
 
     coarse = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
     )  # (B, L)
-    _, probe_ids = jax.lax.top_k(coarse, p)  # (B, P), coarse-desc order
+    _, probe_ids = jax.lax.top_k(coarse, p)  # (B, P)
     probed = _probe_bitmap(probe_ids, l)  # (B, L)
     q_scan = queries.astype(jnp.bfloat16) if cast_bf16 else queries
     iota_c = jnp.arange(c_lists, dtype=jnp.int32)
+    neg = jnp.array(-jnp.inf, score_dtype)
 
-    init_s = jnp.full((b, k_run), -jnp.inf, jnp.float32)
-    init_pos = jnp.zeros((b, k_run), jnp.int32)
-    cold = probed
-    if h > 0:
-        hot_ids = probe_ids[:, :h]  # (B, H)
-        cold = probed & ~_probe_bitmap(hot_ids, l)
-
-        def hot_fn(hl):  # (B,) list ids -> exact (B, cap) scores
-            vecs = padded_vectors[hl]  # (B, cap, D) gather
-            if cast_bf16:
-                vecs = vecs.astype(jnp.bfloat16)
-            s = jnp.einsum(
-                "bd,bcd->bc", q_scan, vecs,
-                preferred_element_type=jnp.float32,
-            )
-            s = s * padded_scales[hl]
-            ids_h = padded_ids[hl]
-            mask = ids_h >= 0
-            if tol_val > 0:
-                mask &= _window_mask(
-                    q_prec[:, None], padded_prec[hl], charge,
-                    tol_val, tol_mode,
-                )
-            return jnp.where(mask, s, -jnp.inf), hl[:, None] * cap + (
-                jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
-            )
-
-        hot_s, hot_pos = jax.lax.map(hot_fn, hot_ids.T)  # (H, B, cap)
-        hot_s = jnp.transpose(hot_s, (1, 0, 2)).reshape(b, h * cap)
-        hot_pos = jnp.transpose(hot_pos, (1, 0, 2)).reshape(b, h * cap)
-        if h * cap > k_run:
-            init_s, sel0 = jax.lax.top_k(hot_s, k_run)
-            init_pos = jnp.take_along_axis(hot_pos, sel0, axis=1)
-        else:
-            init_s, init_pos = (
-                jnp.pad(
-                    hot_s, ((0, 0), (0, k_run - h * cap)),
-                    constant_values=-jnp.inf,
-                ),
-                jnp.pad(hot_pos, ((0, 0), (0, k_run - h * cap))),
-            )
-
-    def chunk_fn(carry, c):
-        run_s, run_pos, viol = carry
+    def chunk_fn(_, c):
         start = jnp.minimum(c * c_lists, l - c_lists)
         vecs = jax.lax.dynamic_slice_in_dim(
             padded_vectors, start, c_lists, 0
@@ -704,8 +689,8 @@ def _ivf_search_chunked(
             padded_scales, start, c_lists, 0
         )
         probed_c = jax.lax.dynamic_slice_in_dim(
-            cold, start, c_lists, 1
-        )  # (B, C) -- hot lists excluded (scanned exactly above)
+            probed, start, c_lists, 1
+        )  # (B, C)
         if cast_bf16:
             vecs = vecs.astype(jnp.bfloat16)
         s = jnp.einsum(
@@ -729,46 +714,97 @@ def _ivf_search_chunked(
                 q_prec[:, None, None], prec_c[None], charge,
                 tol_val, tol_mode,
             )
-        s = jnp.where(mask, s, -jnp.inf)
-        sm, pos_m = jax.lax.top_k(s, m)  # (B, C, m) over the cap axis
-        # Certificate bookkeeping: the best dropped score per query.
-        n_valid = jnp.sum(mask, axis=-1)  # (B, C)
-        trunc_best = jnp.where(n_valid > m, sm[..., -1], -jnp.inf)
-        viol = jnp.maximum(viol, jnp.max(trunc_best, axis=-1))
-        # Merge into the running buffer (global flat positions).
-        cand_pos = (
-            (start + iota_c)[None, :, None] * cap + pos_m
-        ).reshape(b, c_lists * m)
-        all_s = jnp.concatenate([run_s, sm.reshape(b, -1)], axis=1)
-        all_pos = jnp.concatenate([run_pos, cand_pos], axis=1)
-        run_s, sel = jax.lax.top_k(all_s, k_run)
-        run_pos = jnp.take_along_axis(all_pos, sel, axis=1)
-        return (run_s, run_pos, viol), None
+        s = jnp.where(mask, s.astype(score_dtype), neg)
+        pooled = jnp.max(
+            s.reshape(b, c_lists * npl, g), axis=-1
+        )  # (B, C * npl) fused epilogue reduction
+        return 0, (s.reshape(b, inner), pooled)
 
-    init = (init_s, init_pos, jnp.full((b,), -jnp.inf, jnp.float32))
-    (run_s, run_pos, viol), _ = jax.lax.scan(
-        chunk_fn, init, jnp.arange(n_chunks, dtype=jnp.int32)
-    )
+    _, (scores_st, pooled_st) = jax.lax.scan(
+        chunk_fn, 0, jnp.arange(n_chunks, dtype=jnp.int32)
+    )  # (n_chunks, B, inner), (n_chunks, B, C*npl)
+    pooled = jnp.transpose(pooled_st, (1, 0, 2)).reshape(b, n_groups)
+
+    # Level-2 pooling: keep the exact top_k lanes narrow.
+    g2 = 32
+    n_g2 = -(-n_groups // g2)
+    pooled2_in = pooled
+    if n_g2 * g2 != n_groups:
+        pooled2_in = jnp.pad(
+            pooled, ((0, 0), (0, n_g2 * g2 - n_groups)),
+            constant_values=neg,
+        )
+    pooled2 = jnp.max(pooled2_in.reshape(b, n_g2, g2), axis=-1)
+
+    inexact = jnp.zeros((b,), bool)
+    if k_run < n_g2:
+        v2, i2 = jax.lax.top_k(pooled2, k_run)  # (B, k_run) level-2 ids
+        inexact |= _tie_unsafe(pooled2, v2)
+        # Expand level-2 winners to their level-1 maxima.  Lanes past
+        # n_groups (level-2 padding) are forced to -inf rather than
+        # clamped: a clamped duplicate of a real group could be
+        # selected twice and surface duplicate member entries.
+        g1_raw = (
+            i2[:, :, None] * g2
+            + jnp.arange(g2, dtype=jnp.int32)[None, None, :]
+        ).reshape(b, k_run * g2)
+        g1_pos = jnp.minimum(g1_raw, n_groups - 1)
+        g1_vals = jnp.where(
+            g1_raw < n_groups,
+            jnp.take_along_axis(pooled, g1_pos, axis=1),
+            neg,
+        )
+    else:
+        g1_pos = jnp.broadcast_to(
+            jnp.arange(n_groups, dtype=jnp.int32)[None], (b, n_groups)
+        )
+        g1_vals = pooled
+    if k_run < g1_vals.shape[1]:
+        v1, i1 = jax.lax.top_k(g1_vals, k_run)
+        sel_groups = jnp.take_along_axis(g1_pos, i1, axis=1)
+        inexact |= _tie_unsafe(pooled, v1)
+    else:
+        sel_groups = g1_pos
+
+    # Expand the selected groups to member scores and positions.
+    # Group/member coordinates live in the CHUNK-STACKED space (chunk c
+    # holds `inner` scores); the true flat (list * cap + slot) position
+    # must account for the clamped last chunk (start = min(c * C,
+    # L - C) when list_chunk does not divide L).
+    n_members = sel_groups.shape[1] * g
+    member_stacked = (
+        sel_groups[:, :, None] * g
+        + jnp.arange(g, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, n_members)
+    chunk_idx = member_stacked // inner
+    inner_idx = member_stacked - chunk_idx * inner
+    member_pos = (
+        jnp.minimum(chunk_idx * c_lists, l - c_lists) * cap + inner_idx
+    )  # true global flat positions
+    member_s = scores_st[
+        chunk_idx, jnp.arange(b, dtype=jnp.int32)[:, None], inner_idx
+    ]  # (B, n_members) gather from the chunk-stacked score block
+
+    k_eff = min(k_run, n_members)
+    run_s, sel = jax.lax.top_k(member_s, k_eff)
+    run_pos = jnp.take_along_axis(member_pos, sel, axis=1)
+    run_s = run_s.astype(jnp.float32)
+    run_s = jnp.where(jnp.isfinite(run_s), run_s, -jnp.inf)
+
     lists = run_pos // cap
     slots = run_pos - lists * cap
-    run_i = jnp.where(
-        run_s > -jnp.inf, padded_ids[lists, slots], -1
-    )
-    # Exactness certificate: -inf tau means the buffer never filled, so
-    # ANY truncation may have dropped entries that belong in it.
-    tau = run_s[:, -1]
-    inexact = (viol > -jnp.inf) & (viol >= tau)
+    run_i = jnp.where(run_s > -jnp.inf, padded_ids[lists, slots], -1)
 
     if padded_prev is not None:
         keep = (run_s > -jnp.inf) & _prev_keep_mask(
             lists, slots, probed, padded_prev
         )
         sc = jnp.where(keep, run_s, -jnp.inf)
-        k_out = min(k, k_run)
+        k_out = min(k, k_eff)
         out_s, pos2 = jax.lax.top_k(sc, k_out)
         out_i = jnp.take_along_axis(run_i, pos2, axis=1)
         out_i = jnp.where(out_s > -jnp.inf, out_i, -1)
-    elif k_run > k:
+    elif k_eff > k:
         out_s, out_i = _dedup_topk(run_s, run_i, k)
     else:
         out_s, out_i = run_s, run_i
@@ -779,20 +815,14 @@ def _ivf_search_chunked(
 def chunked_scan_params(
     l: int, cap: int, num_probe: int, k_scan: int, b: int
 ):
-    """(list_m, list_chunk, hot_lists) for `_ivf_search_chunked`.
+    """(pool_g, list_chunk) for `_ivf_search_chunked`.
 
-    `hot_lists` is the number of top coarse lists scanned exactly per
-    query: clustered data concentrates a query's neighbors in its best
-    few lists, so those are exempted from truncation entirely.
-    `list_m` is the per-COLD-list selection width: the expected share
-    of one cold list in a query's top-k_scan is k_scan / num_probe,
-    kept with 4x skew headroom (the certificate catches -- and the
-    per-query oracle repairs -- the tail beyond it).  `list_chunk`
-    bounds the per-chunk (B, C, cap) f32 score transient to
-    `_CHUNK_TRANSIENT`.
+    `pool_g` is the max-pool group width (fused into the einsum
+    epilogue; 32 balances level-1 width against member-expansion
+    size).  `list_chunk` bounds the per-chunk (B, C, cap) f32 score
+    transient to `_CHUNK_TRANSIENT`.
     """
-    hot_lists = min(4, num_probe)
-    list_m = min(cap, max(32, -(-4 * k_scan // max(num_probe, 1))))
+    pool_g = 32
     c_max = max(1, _CHUNK_TRANSIENT // (max(b, 1) * cap * 4))
     list_chunk = min(l, c_max)
     if l % list_chunk:
@@ -802,7 +832,7 @@ def chunked_scan_params(
             if l % c == 0:
                 list_chunk = c
                 break
-    return list_m, list_chunk, hot_lists
+    return pool_g, list_chunk
 
 
 @partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
@@ -1509,9 +1539,18 @@ class IvfIndex:
         )
         prev_d = self._device_prev
         l, cap, _ = self.padded_vectors.shape
+        # Super-tile size: the pass-A score block (B, L * cap) in
+        # storage precision must fit HBM alongside the list block
+        # itself (4 GB budget keeps per-chip-capacity indexes viable).
+        score_bytes = 4 if self.padded_vectors.dtype == np.float32 else 2
+        tq = min(
+            _CHUNK_TQ,
+            max(128, (4 << 30) // max(l * cap * score_bytes, 1)),
+        )
+        tq = max(128, _next_pow2(tq + 1) // 2)  # floor to a power of two
         out_ids, out_scores, flags = [], [], []
-        for start in range(0, b, _CHUNK_TQ):
-            stop = min(start + _CHUNK_TQ, b)
+        for start in range(0, b, tq):
+            stop = min(start + tq, b)
             n = stop - start
             n_pad = _next_pow2(n)
             qt = queries_d[start:stop]
@@ -1519,13 +1558,13 @@ class IvfIndex:
             if n_pad != n:
                 qt = jnp.pad(qt, ((0, n_pad - n), (0, 0)))
                 qpt = jnp.pad(qpt, (0, n_pad - n))
-            list_m, list_chunk, hot_lists = chunked_scan_params(
+            pool_g, list_chunk = chunked_scan_params(
                 l, cap, num_probe, k_scan, n_pad
             )
             s, i, inexact = _ivf_search_chunked(
                 vectors_d, ids_d, prec_d, scales_d, prev_d, centroids_d,
                 qt, qpt, charge_d, num_probe, k, k_scan,
-                list_m, list_chunk, hot_lists, tol_val, tol_mode,
+                pool_g, list_chunk, tol_val, tol_mode,
             )
             out_scores.append(s[:n])
             out_ids.append(i[:n])

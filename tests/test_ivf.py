@@ -425,11 +425,10 @@ def test_three_regime_parity():
 
 
 def test_chunked_scan_parity_and_certificate():
-    """The big-library chunked scan (`_ivf_search_chunked`) must equal
-    the full-library tile scan when nothing truncates, and its
-    exactness certificate must be SOUND: every unflagged query's result
-    matches the fullscan oracle even when per-list truncation is forced
-    with a tiny `list_m`."""
+    """The big-library chunked scan (`_ivf_search_chunked`,
+    pooled-max hierarchical selection) must equal the full-library
+    tile scan on float storage, with the tie-boundary certificate
+    sound: every unflagged query matches the fullscan oracle."""
     import jax.numpy as jnp
 
     from ann_solo_tpu.index.ivf import (
@@ -455,7 +454,6 @@ def test_chunked_scan_parity_and_certificate():
 
     vecs_d, ids_d, prec_d, scales_d, cents_d = index.device_arrays()
     prev_d = index._device_prev
-    cap = index.padded_vectors.shape[1]
     args = (
         vecs_d, ids_d, prec_d, scales_d, prev_d, cents_d,
         jnp.asarray(queries), jnp.asarray(q_prec), jnp.float32(2.0),
@@ -465,58 +463,83 @@ def test_chunked_scan_parity_and_certificate():
         *args, p, k, k_scan, 50.0, "Da"
     )
 
-    # list_m = cap: no truncation possible -> exact, nothing flagged.
     # list_chunk = 48 does NOT divide 512: exercises the clamped
-    # duplicate-masked last chunk.  hot_lists = 2 exercises the exact
-    # hot-list gather seeding alongside the cold chunk scan.
-    s_c, i_c, inexact = _ivf_search_chunked(
-        *args, p, k, k_scan, cap, 48, 2, 50.0, "Da"
+    # duplicate-masked last chunk and the stacked->true position map.
+    for pool_g, list_chunk in ((32, 48), (8, 128)):
+        s_c, i_c, inexact = _ivf_search_chunked(
+            *args, p, k, k_scan, pool_g, list_chunk, 50.0, "Da"
+        )
+        inexact = np.asarray(inexact)
+        for q in np.nonzero(~inexact)[0]:
+            got = set(
+                np.asarray(i_c[q])[np.asarray(i_c[q]) >= 0].tolist()
+            )
+            want = set(
+                np.asarray(i_full[q])[np.asarray(i_full[q]) >= 0]
+                .tolist()
+            )
+            assert got == want, (
+                f"chunked vs fullscan, query {q} (g={pool_g})"
+            )
+        # Random f32 dots tie only through redundant copies; the vast
+        # majority of queries must come out certified exact.
+        assert inexact.mean() < 0.05, inexact.mean()
+
+
+def test_chunked_scan_tie_certificate():
+    """Mass score ties (many exact duplicate vectors) must trip the
+    group-selection tie certificate, and the end-to-end repair path
+    must deliver results score-identical to the per-query oracle with
+    no duplicate ids."""
+    import jax.numpy as jnp
+
+    from ann_solo_tpu.index import ivf as ivf_mod
+    from ann_solo_tpu.index.ivf import (
+        _ivf_search_chunked,
+        _ivf_search_perquery,
     )
-    assert not np.asarray(inexact).any()
+
+    rng = np.random.default_rng(71)
+    n, d, l = 8000, 32, 128
+    base = _clustered_vectors(rng, n=200, d=d, n_clusters=8)
+    # 40 exact copies of each base vector: huge tie blocks.
+    vectors = np.repeat(base, 40, axis=0)
+    index = IvfIndex.build(
+        vectors, IvfConfig(num_list=l, num_probe=16), redundancy=1,
+        storage_dtype=np.float32,
+    )
+    b, k, p = 64, 16, 16
+    queries = base[rng.choice(200, b)]
+    queries = queries + 0.01 * rng.normal(size=(b, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    vecs_d, ids_d, prec_d, scales_d, cents_d = index.device_arrays()
+    args = (
+        vecs_d, ids_d, prec_d, scales_d, None, cents_d,
+        jnp.asarray(queries), jnp.zeros(b, jnp.float32),
+        jnp.float32(1.0),
+    )
+    _, _, flags = _ivf_search_chunked(
+        *args, p, k, k, 8, 32, 0.0, "Da"
+    )
+    assert np.asarray(flags).any(), "mass ties must trip the certificate"
+
+    # End-to-end: repair must produce the oracle's score multiset and
+    # no duplicate ids (tied ids are interchangeable; scores are not).
+    s_o, i_o = _ivf_search_perquery(*args, p, k, k, 0.0, "Da")
+    ids, scores = index._search_chunked(
+        jnp.asarray(queries), jnp.zeros(b, jnp.float32),
+        jnp.float32(1.0), b, p, k, k, 0.0, "Da",
+    )
     for q in range(b):
-        got = set(np.asarray(i_c[q])[np.asarray(i_c[q]) >= 0].tolist())
-        want = set(
-            np.asarray(i_full[q])[np.asarray(i_full[q]) >= 0].tolist()
+        row = np.asarray(ids[q])
+        row = row[row >= 0]
+        assert len(np.unique(row)) == len(row), f"query {q} dup ids"
+        np.testing.assert_allclose(
+            np.sort(np.asarray(scores[q])),
+            np.sort(np.asarray(s_o[q])),
+            rtol=1e-6, atol=1e-6,
         )
-        assert got == want, f"chunked vs fullscan, query {q}"
-    np.testing.assert_allclose(
-        np.sort(np.asarray(s_c), axis=1),
-        np.sort(np.asarray(s_full), axis=1),
-        rtol=1e-5, atol=1e-6,
-    )
-
-    # Small list_m with NO hot lists: clustered queries concentrate
-    # candidates in their best lists, so truncation must fire for some
-    # queries -- and every UNFLAGGED query must still match the oracle
-    # exactly (certificate soundness).  k_scan/p = 4 entries/list on
-    # average; 8 truncates the skewed head.
-    s_t, i_t, flags = _ivf_search_chunked(
-        *args, p, k, k_scan, 8, 64, 0, 50.0, "Da"
-    )
-    flags = np.asarray(flags)
-    assert flags.any(), "tiny list_m must truncate some query's list"
-    assert not flags.all(), "certificate must clear untruncated queries"
-    for q in np.nonzero(~flags)[0]:
-        got = set(np.asarray(i_t[q])[np.asarray(i_t[q]) >= 0].tolist())
-        want = set(
-            np.asarray(i_full[q])[np.asarray(i_full[q]) >= 0].tolist()
-        )
-        assert got == want, f"unflagged query {q} diverged from oracle"
-
-    # Hot lists absorb the clustered head: the same small list_m with
-    # hot_lists = 4 must flag strictly fewer queries, and unflagged
-    # queries stay oracle-exact.
-    s_h, i_h, flags_h = _ivf_search_chunked(
-        *args, p, k, k_scan, 8, 64, 4, 50.0, "Da"
-    )
-    flags_h = np.asarray(flags_h)
-    assert flags_h.sum() < flags.sum(), (flags_h.sum(), flags.sum())
-    for q in np.nonzero(~flags_h)[0]:
-        got = set(np.asarray(i_h[q])[np.asarray(i_h[q]) >= 0].tolist())
-        want = set(
-            np.asarray(i_full[q])[np.asarray(i_full[q]) >= 0].tolist()
-        )
-        assert got == want, f"hot unflagged query {q} diverged"
 
 
 def test_chunked_dispatch_end_to_end(monkeypatch):
@@ -561,9 +584,9 @@ def test_chunked_dispatch_end_to_end(monkeypatch):
 
 
 def test_chunked_repair_path(monkeypatch):
-    """Force truncation through `chunked_scan_params` (tiny list_m) so
-    the certificate repair path actually runs end-to-end; results must
-    still equal the per-query oracle."""
+    """Force EVERY query through the certificate repair (tie detector
+    patched to always flag): the per-query-oracle repair wiring must
+    deliver results identical to the unforced search."""
     from ann_solo_tpu.index import ivf as ivf_mod
 
     rng = np.random.default_rng(61)
@@ -583,10 +606,20 @@ def test_chunked_repair_path(monkeypatch):
     want = index.search(queries, k, num_probe=16)
     monkeypatch.setattr(ivf_mod, "_FULLSCAN_TRANSIENT", 0)
     monkeypatch.setattr(
-        ivf_mod, "chunked_scan_params",
-        lambda l_, cap, p_, ks, b_: (2, 64, 0),
+        ivf_mod, "_tie_unsafe",
+        lambda pool_vals, kept_vals:
+            __import__("jax.numpy", fromlist=["ones"]).ones(
+                (pool_vals.shape[0],), bool
+            ),
     )
-    got = index.search(queries, k, num_probe=16)
+    # The patched detector is bound at trace time; drop any cached
+    # executable so the jit retraces with it (and again afterwards so
+    # later tests don't hit the always-flag variant).
+    ivf_mod._ivf_search_chunked.clear_cache()
+    try:
+        got = index.search(queries, k, num_probe=16)
+    finally:
+        ivf_mod._ivf_search_chunked.clear_cache()
     for q in range(b):
         sa = set(got[q][got[q] >= 0].tolist())
         sb = set(want[q][want[q] >= 0].tolist())
