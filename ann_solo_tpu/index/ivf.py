@@ -812,6 +812,74 @@ def _ivf_search_chunked(
     return out_s, out_i, inexact
 
 
+@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14))
+def _ivf_chunked_pallas_tile(
+    padded_vectors,  # (L, cap, Dp) int8/bf16, Dp % 128 == 0
+    padded_ids,  # (L, cap) int32
+    padded_prec,  # (L, cap) f32
+    padded_scales,  # (L, cap) f32
+    padded_prev,  # (L, cap, R-1) int32 or None
+    centroids,  # (L, Dp) f32
+    queries,  # (B, Dp) f32
+    q_prec,  # (B,) f32
+    charge,  # () f32
+    num_probe: int,
+    k: int,
+    k_scan: int,
+    tol_val: float,
+    tol_mode: str,
+    interpret: bool = False,
+):
+    """Fused-kernel chunked scan: probe, Pallas scan+select, finalize.
+
+    Same contract as `_ivf_search_chunked` (per-query exactness
+    certificates; flagged queries repaired by the caller through the
+    per-query oracle) with the whole score pass and hierarchical
+    selection fused on-chip -- see `ops/ivf_scan_pallas.py` for the
+    measurements that forced this design.
+    """
+    from ann_solo_tpu.ops.ivf_scan_pallas import ivf_chunked_scan_select
+
+    l, cap, _ = padded_vectors.shape
+    p = min(num_probe, l)
+    coarse = jnp.dot(
+        queries, centroids.T, preferred_element_type=jnp.float32
+    )
+    _, probe_ids = jax.lax.top_k(coarse, p)
+    probed = _probe_bitmap(probe_ids, l)
+    valid = (padded_ids >= 0).astype(jnp.int8)
+    run_s, flat_pos, inexact = ivf_chunked_scan_select(
+        padded_vectors, valid, padded_prec, padded_scales,
+        queries, q_prec, charge, probe_ids,
+        p, k_scan, tol_val, tol_mode, interpret=interpret,
+    )
+    k_eff = run_s.shape[1]
+    lists = flat_pos // cap
+    slots = flat_pos - lists * cap
+    run_i = jnp.where(run_s > -jnp.inf, padded_ids[lists, slots], -1)
+    if padded_prev is not None:
+        keep = (run_s > -jnp.inf) & _prev_keep_mask(
+            lists, slots, probed, padded_prev
+        )
+        sc = jnp.where(keep, run_s, -jnp.inf)
+        k_out = min(k, k_eff)
+        out_s, pos2 = jax.lax.top_k(sc, k_out)
+        out_i = jnp.take_along_axis(run_i, pos2, axis=1)
+        out_i = jnp.where(out_s > -jnp.inf, out_i, -1)
+        # The post-dedup top-k re-selection is one more boundary where
+        # equal (bf16-rounded) scores tie-break by position; flag it
+        # so the oracle repair resolves those queries (the
+        # tie-boundary caveat of `_prev_keep_mask`, round-3 ADVICE #1
+        # -- the fused path certifies it instead of accepting it).
+        inexact |= _tie_unsafe(sc, out_s)
+    elif k_eff > k:
+        out_s, out_i = _dedup_topk(run_s, run_i, k)
+    else:
+        out_s, out_i = run_s, run_i
+    out_s, out_i = _pad_topk(out_s, out_i, k)
+    return out_s, out_i, inexact
+
+
 def chunked_scan_params(
     l: int, cap: int, num_probe: int, k_scan: int, b: int
 ):
@@ -1130,6 +1198,22 @@ class IvfIndex:
             total += np.asarray(self.padded_prev).nbytes
         return total / max(n, 1)
 
+    @property
+    def device_dim(self) -> int:
+        """Vector dimensionality of the DEVICE blocks.
+
+        Chunked-regime-sized indexes upload with the feature axis
+        zero-padded to a multiple of 128 so the fused Pallas scan's
+        MXU dot sees lane-aligned operands; the zero columns leave
+        every inner product unchanged.  Bench-scale indexes (fullscan
+        regime) stay unpadded -- their tile scan is HBM-bound and the
+        +pad traffic would be a pure regression."""
+        d = self.padded_vectors.shape[-1]
+        l, cap = self.padded_ids.shape
+        if l * cap * 4 * _TILE_Q > _FULLSCAN_TRANSIENT:
+            return -(-d // 128) * 128
+        return d
+
     def device_arrays(self):
         """Index blocks resident on the default device (uploaded once).
 
@@ -1138,12 +1222,19 @@ class IvfIndex:
         ADVICE -- a stale `_device_prev` would silently flip the dedup
         mode)."""
         if self._device is None:
+            d = self.padded_vectors.shape[-1]
+            dp = self.device_dim
+            vecs = jnp.asarray(self.padded_vectors)
+            cents = jnp.asarray(self.centroids, jnp.float32)
+            if dp != d:
+                vecs = jnp.pad(vecs, ((0, 0), (0, 0), (0, dp - d)))
+                cents = jnp.pad(cents, ((0, 0), (0, dp - d)))
             self._device = (
-                jnp.asarray(self.padded_vectors),
+                vecs,
                 jnp.asarray(self.padded_ids),
                 jnp.asarray(self.padded_prec),
                 jnp.asarray(self.padded_scales),
-                jnp.asarray(self.centroids, jnp.float32),
+                cents,
             )
             self._device_prev = None
             self._device_prev_src = None
@@ -1422,6 +1513,11 @@ class IvfIndex:
         l, cap, _ = self.padded_vectors.shape
         k_scan = self.redundancy * k
         queries_d = jnp.asarray(queries, jnp.float32)
+        dp = vectors_d.shape[-1]
+        if queries_d.shape[-1] != dp:  # match the device D padding
+            queries_d = jnp.pad(
+                queries_d, ((0, 0), (0, dp - queries_d.shape[-1]))
+            )
         q_prec_d = jnp.asarray(q_prec, jnp.float32)
 
         # Regime dispatch (round-3 profiling, VERDICT r2 #1; chunked
@@ -1534,20 +1630,43 @@ class IvfIndex:
         through the exact per-query gather scan -- results are identical
         to `_ivf_search_perquery` by construction.
         """
+        from ann_solo_tpu.ops.ivf_scan_pallas import (
+            chunked_pallas_supported,
+        )
+        from ann_solo_tpu.ops.shifted_dot_pallas import use_pallas_default
+
         vectors_d, ids_d, prec_d, scales_d, centroids_d = (
             self.device_arrays()
         )
         prev_d = self._device_prev
         l, cap, _ = self.padded_vectors.shape
-        # Super-tile size: the pass-A score block (B, L * cap) in
-        # storage precision must fit HBM alongside the list block
-        # itself (4 GB budget keeps per-chip-capacity indexes viable).
-        score_bytes = 4 if self.padded_vectors.dtype == np.float32 else 2
-        tq = min(
-            _CHUNK_TQ,
-            max(128, (4 << 30) // max(l * cap * score_bytes, 1)),
+        dp = vectors_d.shape[-1]
+        pallas_env = os.environ.get("ANN_SOLO_TPU_CHUNKED_PALLAS", "1")
+        use_pallas = (
+            pallas_env != "0"
+            and (use_pallas_default() or pallas_env == "force")
+            and chunked_pallas_supported(
+                l, cap, dp, num_probe, k_scan,
+                np.dtype(self.padded_vectors.dtype),
+            )
         )
-        tq = max(128, _next_pow2(tq + 1) // 2)  # floor to a power of two
+        interpret = use_pallas and jax.default_backend() != "tpu"
+        # Super-tile size: the fused kernel never materializes scores,
+        # so it always runs full _CHUNK_TQ tiles; the XLA fallback's
+        # pass-A score block (B, L * cap) in storage precision must fit
+        # HBM alongside the list block itself (4 GB budget keeps
+        # per-chip-capacity indexes viable).
+        if use_pallas:
+            tq = _CHUNK_TQ
+        else:
+            score_bytes = (
+                4 if self.padded_vectors.dtype == np.float32 else 2
+            )
+            tq = min(
+                _CHUNK_TQ,
+                max(128, (4 << 30) // max(l * cap * score_bytes, 1)),
+            )
+            tq = max(128, _next_pow2(tq + 1) // 2)  # floor to pow2
         out_ids, out_scores, flags = [], [], []
         for start in range(0, b, tq):
             stop = min(start + tq, b)
@@ -1558,14 +1677,21 @@ class IvfIndex:
             if n_pad != n:
                 qt = jnp.pad(qt, ((0, n_pad - n), (0, 0)))
                 qpt = jnp.pad(qpt, (0, n_pad - n))
-            pool_g, list_chunk = chunked_scan_params(
-                l, cap, num_probe, k_scan, n_pad
-            )
-            s, i, inexact = _ivf_search_chunked(
-                vectors_d, ids_d, prec_d, scales_d, prev_d, centroids_d,
-                qt, qpt, charge_d, num_probe, k, k_scan,
-                pool_g, list_chunk, tol_val, tol_mode,
-            )
+            if use_pallas:
+                s, i, inexact = _ivf_chunked_pallas_tile(
+                    vectors_d, ids_d, prec_d, scales_d, prev_d,
+                    centroids_d, qt, qpt, charge_d, num_probe, k,
+                    k_scan, tol_val, tol_mode, interpret,
+                )
+            else:
+                pool_g, list_chunk = chunked_scan_params(
+                    l, cap, num_probe, k_scan, n_pad
+                )
+                s, i, inexact = _ivf_search_chunked(
+                    vectors_d, ids_d, prec_d, scales_d, prev_d,
+                    centroids_d, qt, qpt, charge_d, num_probe, k,
+                    k_scan, pool_g, list_chunk, tol_val, tol_mode,
+                )
             out_scores.append(s[:n])
             out_ids.append(i[:n])
             flags.append(inexact[:n])

@@ -206,7 +206,9 @@ def main():
     t0 = time.perf_counter()
     import jax.random as jrandom
 
-    key = jrandom.PRNGKey(7)
+    # rbg PRNG: the default threefry measured 803 s for this block on
+    # the tunneled v5e; rbg generates it in seconds.
+    key = jrandom.key(7, impl="rbg")
     chunk = 1 << 18
     parts = []
     for i in range(-(-n // chunk)):
