@@ -81,7 +81,15 @@ def _add_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--hash_len", default=800, type=int)
     parser.add_argument("--num_candidates", default=1024, type=int)
     parser.add_argument("--batch_size", default=16384, type=int)
-    parser.add_argument("--num_list", default=256, type=int)
+    parser.add_argument(
+        "--num_list",
+        default=0,
+        type=int,
+        help="IVF list count; 0 (default) = size-aware auto "
+        "(~13*sqrt(n) per charge, power-of-two -- the SWEEP_r03 "
+        "IDs@FDR Pareto winner; the reference's fixed 256 can be "
+        "restored explicitly)",
+    )
     parser.add_argument("--num_probe", default=128, type=int)
     parser.add_argument(
         "--no_gpu",

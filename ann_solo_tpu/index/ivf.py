@@ -334,6 +334,28 @@ def pack_prev_lists(
     return prev.reshape(num_list, cap, r_eff - 1)
 
 
+def resolve_num_list(num_list: int, n: int) -> int:
+    """Size-aware list count: ``num_list <= 0`` selects ~13*sqrt(n)
+    rounded to a power of two, clamped to [16, 65536].
+
+    SWEEP_r03 (IDs@1%FDR Pareto over num_list x num_probe on the
+    hashed-spectrum corpus) showed every 4096-list point dominating the
+    2048-list default on BOTH quality and throughput at the
+    ~100k-spectra-per-charge scale; 13*sqrt(n) reproduces that point
+    (n=100k -> 4096) and stays inside the FAISS 4..16*sqrt(N) guidance
+    the reference inherits (spectral_library.py:163-181) across scales
+    (25k -> 2048, 2.1M -> 16384).  An explicit positive ``num_list``
+    always wins.
+    """
+    if num_list > 0:
+        return int(num_list)
+    import math
+
+    target = 13.0 * math.sqrt(max(n, 1))
+    exp = max(4, int(round(math.log2(max(target, 16.0)))))
+    return int(min(1 << exp, 65536))
+
+
 def ivf_build_params(n: int, num_list: int, redundancy: int):
     """(r_eff, cap, n_choices) shared by every build path."""
     r_eff = max(1, min(redundancy, num_list))
@@ -1278,7 +1300,9 @@ class IvfIndex:
         index when the primary list is probed, and strictly better
         otherwise.
         """
-        num_list = int(config.num_list)
+        num_list = resolve_num_list(
+            int(config.num_list), int(np.shape(vectors)[0])
+        )
         if redundancy is None:
             try:
                 redundancy = int(config.ivf_redundancy)

@@ -359,7 +359,11 @@ class ShardedIvfIndex:
 
         if storage_dtype is None:
             storage_dtype = ml_dtypes.bfloat16
-        num_list = int(config.num_list)
+        from ann_solo_tpu.index.ivf import resolve_num_list
+
+        num_list = resolve_num_list(
+            int(config.num_list), int(np.shape(vectors)[0])
+        )
         if redundancy is None:
             try:
                 redundancy = int(config.ivf_redundancy)

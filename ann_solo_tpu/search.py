@@ -205,9 +205,15 @@ class SpectralLibrary:
         from ann_solo_tpu.index.ivf import IvfIndex, ivf_index_filename
 
         config_hash = hyperparameter_hash(config)
+        # num_list <= 0 = size-aware auto (ivf.resolve_num_list); the
+        # ANN index is skipped below the reference's effective floor
+        # (spectral_library.py:91-116 only builds for large libraries).
+        min_spectra = (
+            int(config.num_list) if int(config.num_list) > 0 else 256
+        )
         for charge in self._store.charges():
             lib = self._get_charge_lib(charge)
-            if lib is None or lib.n_spectra < int(config.num_list):
+            if lib is None or lib.n_spectra < min_spectra:
                 continue
             try:
                 index_dtype = str(config.index_dtype)

@@ -20,7 +20,7 @@ def test_defaults():
     assert config.max_mz == 2010
     assert config.bin_size == 0.04
     assert config.hash_len == 800
-    assert config.num_list == 256
+    assert config.num_list == 0  # 0 = size-aware auto (resolve_num_list)
     assert config.num_probe == 128
     assert config.num_candidates == 1024
     assert config.batch_size == 16384

@@ -30,6 +30,19 @@ def _clustered_vectors(rng, n=4000, d=64, n_clusters=16):
     return vectors.astype(np.float32)
 
 
+def test_resolve_num_list_auto():
+    """num_list <= 0 selects ~13*sqrt(n) rounded to a power of two
+    (SWEEP_r03 Pareto: n=100k -> 4096); explicit values pass through."""
+    from ann_solo_tpu.index.ivf import resolve_num_list
+
+    assert resolve_num_list(256, 10**6) == 256  # explicit wins
+    assert resolve_num_list(0, 100_000) == 4096
+    assert resolve_num_list(0, 25_000) == 2048
+    assert resolve_num_list(0, 2_097_152) == 16384
+    assert resolve_num_list(0, 1) == 16  # clamp floor
+    assert resolve_num_list(0, 10**9) == 65536  # clamp ceiling
+
+
 def test_kmeans_clusters_unit_sphere():
     rng = np.random.default_rng(3)
     vectors = _clustered_vectors(rng)
