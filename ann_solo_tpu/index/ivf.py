@@ -54,6 +54,7 @@ import jax.numpy as jnp
 import ml_dtypes
 import numpy as np
 
+from ann_solo_tpu.ops.ivf_scan_pallas import _key16, _key16_to_f32
 from ann_solo_tpu.ops.kmeans import assign_topk_blocked, spherical_kmeans
 
 logger = logging.getLogger(__name__)
@@ -390,6 +391,36 @@ def _dedup_topk(scores, ids, k: int):
     return top, jnp.where(top > -jnp.inf, out_ids, -1)
 
 
+def _canonical_topk(flat, k_sel: int, cast: bool):
+    """Canonical top-k over probe-gathered score lanes.
+
+    Every search regime ranks by the SAME canonical order -- (score key
+    desc, global position asc) -- so boundary ties resolve identically
+    everywhere and the chunked Pallas kernel's results are bit-equal to
+    the per-query oracle without tie repairs.  Callers must pass lanes
+    in global-position order (probe lists sorted ascending before the
+    gather); `lax.top_k` is stable, so lane order IS the tie-break.
+
+    For bf16/int8 storage (`cast`) the ranking granularity is the
+    monotone 16-bit bf16 key (`_key16`) -- the precision the fused
+    kernel selects at, and the precision the scores are stored at in
+    the chunked XLA regime; returned scores are the decoded
+    (bf16-rounded) values.  f32 storage ranks exact f32 scores.
+    """
+    if cast:
+        keys = _key16(flat)
+        top_keys, pos = jax.lax.top_k(keys, k_sel)
+        return _key16_to_f32(top_keys), pos
+    return jax.lax.top_k(flat, k_sel)
+
+
+def _scan_queries(queries, cast: bool):
+    """Score-pass query precision: bf16 for bf16/int8 storage (the MXU
+    dot the fused kernel runs), f32 for f32 storage.  Coarse probing
+    always stays f32."""
+    return queries.astype(jnp.bfloat16) if cast else queries
+
+
 def _pad_topk(scores, ids, k: int):
     """Right-pad (B, K') top-k outputs to width k with -inf / -1."""
     k_eff = scores.shape[1]
@@ -542,6 +573,7 @@ def _ivf_search_fullscan(
     n_tiles = b // tile
     p = min(num_probe, l)
     vecs = padded_vectors
+    cast = vecs.dtype != jnp.float32
     if vecs.dtype == jnp.int8:
         vecs = vecs.astype(jnp.bfloat16)
 
@@ -551,8 +583,13 @@ def _ivf_search_fullscan(
             qt, centroids.T, preferred_element_type=jnp.float32
         )  # (T, L)
         _, probe_ids = jax.lax.top_k(coarse, p)  # (T, P)
+        # Ascending probe lists make the gathered lane order the
+        # GLOBAL position order -- the canonical tie-break shared with
+        # the chunked kernel and the per-query oracle.
+        probe_ids = jnp.sort(probe_ids, axis=1)
         scores = jnp.einsum(
-            "td,lcd->tlc", qt, vecs, preferred_element_type=jnp.float32
+            "td,lcd->tlc", _scan_queries(qt, cast), vecs,
+            preferred_element_type=jnp.float32,
         )  # (T, L, cap)
         scores = scores * padded_scales[None]
         sel = jnp.take_along_axis(
@@ -567,7 +604,7 @@ def _ivf_search_fullscan(
             )
         flat = jnp.where(mask, sel, -jnp.inf).reshape(tile, p * cap)
         k_sel = min(k_scan, p * cap)
-        top_s, pos = jax.lax.top_k(flat, k_sel)
+        top_s, pos = _canonical_topk(flat, k_sel, cast)
         top_i = jnp.take_along_axis(
             ids_g.reshape(tile, p * cap), pos, axis=1
         )
@@ -888,12 +925,11 @@ def _ivf_chunked_pallas_tile(
         out_s, pos2 = jax.lax.top_k(sc, k_out)
         out_i = jnp.take_along_axis(run_i, pos2, axis=1)
         out_i = jnp.where(out_s > -jnp.inf, out_i, -1)
-        # The post-dedup top-k re-selection is one more boundary where
-        # equal (bf16-rounded) scores tie-break by position; flag it
-        # so the oracle repair resolves those queries (the
-        # tie-boundary caveat of `_prev_keep_mask`, round-3 ADVICE #1
-        # -- the fused path certifies it instead of accepting it).
-        inexact |= _tie_unsafe(sc, out_s)
+        # No tie flag here: `run_s` lanes arrive in the canonical
+        # (key16 desc, global position asc) order and `top_k` is
+        # stable, so this re-selection tie-breaks exactly like the
+        # per-query oracle's `_dedup_topk_prev` does on its own
+        # canonically-ordered lanes.
     elif k_eff > k:
         out_s, out_i = _dedup_topk(run_s, run_i, k)
     else:
@@ -977,16 +1013,20 @@ def _ivf_search_batch(
         queries, centroids.T, preferred_element_type=jnp.float32
     )  # (B, L)
     order = jnp.argsort(jnp.argmax(coarse, axis=1))
-    # Queries stay f32: a bf16 downcast flips near-ties at the top-k
-    # boundary vs the f32 brute-force oracle (the storage side is
-    # already bf16/int8; XLA promotes the matmul accumulation to f32).
+    # Coarse probing stays f32 everywhere; the score pass runs at the
+    # storage-matched precision (`_scan_queries`) so every regime
+    # computes the SAME score values and the canonical ranking makes
+    # them interchangeable down to boundary ties.
     q_s = queries[order]
     prec_s = q_prec[order]
     coarse_s = coarse[order]
 
+    cast = padded_vectors.dtype != jnp.float32
+
     def tile_fn(inp):
         qt, qpt, ct = inp  # (T, D) f32, (T,), (T, L) f32
         _, probe_ids = jax.lax.top_k(ct, p)  # (T, P)
+        probe_ids = jnp.sort(probe_ids, axis=1)  # canonical lane order
         votes = (
             jnp.zeros((l,), jnp.int32).at[probe_ids.reshape(-1)].add(1)
         )
@@ -1012,7 +1052,7 @@ def _ivf_search_batch(
             if vecs.dtype == jnp.int8:
                 vecs = vecs.astype(jnp.bfloat16)
             s = jnp.einsum(
-                "qd,cpd->qcp", qt, vecs,
+                "qd,cpd->qcp", _scan_queries(qt, cast), vecs,
                 preferred_element_type=jnp.float32,
             )  # (T, C, cap)
             return s * padded_scales[lists][None, :, :]
@@ -1036,7 +1076,7 @@ def _ivf_search_batch(
             )
         flat = jnp.where(mask, sel, -jnp.inf).reshape(tile, p * cap)
         k_sel = min(k_scan, p * cap)
-        top_s, pos = jax.lax.top_k(flat, k_sel)
+        top_s, pos = _canonical_topk(flat, k_sel, cast)
         top_i = jnp.take_along_axis(
             ids_g.reshape(tile, p * cap), pos, axis=1
         )
@@ -1105,10 +1145,15 @@ def _ivf_search_perquery(
     """
     l, cap, d = padded_vectors.shape
     p = min(num_probe, l)
+    cast = padded_vectors.dtype != jnp.float32
     coarse = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
     )
     _, probe_ids = jax.lax.top_k(coarse, p)  # (B, P)
+    # Ascending probe lists put the gathered lanes in GLOBAL position
+    # order: the stable top-k in `_canonical_topk` then tie-breaks
+    # exactly like every other regime (key desc, global position asc).
+    probe_ids = jnp.sort(probe_ids, axis=1)
     k_eff = min(k_scan, p * cap)
 
     # Process queries in small groups: amortizes scan-step overhead while
@@ -1123,7 +1168,8 @@ def _ivf_search_perquery(
         if vecs.dtype == jnp.int8:
             vecs = vecs.astype(jnp.bfloat16)
         scores = jnp.einsum(
-            "gd,gpcd->gpc", q, vecs, preferred_element_type=jnp.float32
+            "gd,gpcd->gpc", _scan_queries(q, cast), vecs,
+            preferred_element_type=jnp.float32,
         )
         scores = scores * padded_scales[probes]
         mask = ids >= 0
@@ -1133,7 +1179,7 @@ def _ivf_search_perquery(
                 qp[:, None, None], prec, charge, tol_val, tol_mode
             )
         flat = jnp.where(mask, scores, -jnp.inf).reshape(q.shape[0], -1)
-        top_scores, pos = jax.lax.top_k(flat, k_eff)
+        top_scores, pos = _canonical_topk(flat, k_eff, cast)
         top_ids = jnp.take_along_axis(
             ids.reshape(q.shape[0], -1), pos, axis=1
         )
@@ -1195,6 +1241,7 @@ class IvfIndex:
         self._device = None
         self._device_prev = None
         self._device_prev_src = None
+        self._last_chunked_flagged = 0  # observability (SCALE.json)
         # Sticky: once a query batch shows tile-level list sharing does
         # not pay (most rows overflow the vote budget), later batches on
         # this index go straight to the per-query scan.
@@ -1674,7 +1721,12 @@ class IvfIndex:
                 np.dtype(self.padded_vectors.dtype),
             )
         )
-        interpret = use_pallas and jax.default_backend() != "tpu"
+        # Interpret when computation does NOT actually run on a TPU:
+        # `use_pallas_default` resolves the real compute platform (the
+        # axon plugin force-selects the tunneled TPU backend, so
+        # `jax.default_backend()` says "tpu" even when tests pin the
+        # default device to CPU).
+        interpret = use_pallas and not use_pallas_default()
         # Super-tile size: the fused kernel never materializes scores,
         # so it always runs full _CHUNK_TQ tiles; the XLA fallback's
         # pass-A score block (B, L * cap) in storage precision must fit

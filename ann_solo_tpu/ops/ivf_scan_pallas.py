@@ -173,8 +173,15 @@ def _scan_kernel(
             )
     s = jnp.where(ok, s, -jnp.inf)
     key = _key16(s)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (bt, cw), 1)
-    packed = jax.lax.shift_left(key, pos_bits) | pos
+    # INVERTED local position in the low bits: larger packed value ==
+    # (larger key, SMALLER slot) -- the in-chunk masked-max order is
+    # then exactly the canonical (key16 desc, global position asc)
+    # ranking every search regime shares, so boundary ties resolve
+    # identically to the per-query oracle instead of being flagged.
+    inv_pos = (cw - 1) - jax.lax.broadcasted_iota(
+        jnp.int32, (bt, cw), 1
+    )
+    packed = jax.lax.shift_left(key, pos_bits) | inv_pos
 
     # Level 1: per-supergroup top-M by iterated masked-max over static
     # SG-aligned lane slices.  Packed values are distinct (pos bits),
@@ -310,47 +317,72 @@ def ivf_chunked_scan_select(
     out3 = out.reshape(b, n_chunks, LANES)
     # Pigeonhole chunk selection: winners live in probed lists, and
     # <= num_probe chunks hold any probed list, so the top num_probe
-    # chunks by max candidate (lane 0) contain EVERY finite candidate.
+    # chunks by max candidate (lane 0) contain EVERY finite candidate
+    # (an exact set cover -- tie order among selected chunks cannot
+    # matter).  The selected ids are then re-sorted ASCENDING so the
+    # gathered lanes are chunk-ascending-major; with the in-chunk
+    # (key desc, slot asc) packing, a STABLE top_k over the bare keys
+    # ranks candidates in the canonical (key16 desc, global position
+    # asc) order every search regime shares.
     chunk_max = out3[:, :, 0]
     _, chunk_sel = jax.lax.top_k(chunk_max, p_sel)  # (B, P)
+    chunk_sel = jnp.sort(chunk_sel, axis=1)
     bi = jnp.arange(b, dtype=jnp.int32)[:, None]
     blk = out3[bi, chunk_sel]  # (B, P, LANES) 512-byte row gather
     cands = blk[:, :, :CK].reshape(b, p_sel * CK)
-    run_packed, p_idx = jax.lax.top_k(cands, k_eff)
-
-    key_o = jax.lax.shift_right_logical(run_packed, pos_bits)
-    pos_in = run_packed & (cw - 1)
+    pos_mask = (1 << pos_bits) - 1
+    cand_keys = jnp.where(
+        cands > _NEG,
+        jax.lax.shift_right_logical(cands, pos_bits),
+        jnp.int32(_NEG),
+    )
+    # lax.top_k is stable (equal keys keep ascending lane order), so
+    # this IS the canonical selection -- exact over the gathered set.
+    key_o, p_idx = jax.lax.top_k(cand_keys, k_eff)
+    run_packed = jnp.take_along_axis(cands, p_idx, axis=1)
+    pos_in = (cw - 1) - (run_packed & pos_mask)
     chunk_rank = p_idx // CK
     chunk_id = jnp.take_along_axis(chunk_sel, chunk_rank, axis=1)
     flat_pos = chunk_id * cw + pos_in
     scores = _key16_to_f32(key_o)
-    scores = jnp.where(run_packed > _NEG, scores, -jnp.inf)
+    scores = jnp.where(key_o > _NEG, scores, -jnp.inf)
 
-    # Certificates (all tiny reductions over the gathered rows).
-    kb = key_o[:, -1:]  # boundary key
-    cand_keys = jax.lax.shift_right_logical(cands, pos_bits)
-    n_at = jnp.sum(
-        ((cand_keys == kb) & (cands > _NEG)).astype(jnp.int32), axis=1
-    )
-    n_kept = jnp.sum(
-        ((key_o == kb) & (run_packed > _NEG)).astype(jnp.int32), axis=1
-    )
-    flags = n_at > n_kept  # boundary tie straddles the selection
-    ck_last = jax.lax.shift_right_logical(
-        blk[:, :, CK - 1], pos_bits
-    )  # (B, P) chunk CK-th rank
-    flags |= jnp.any(
-        (blk[:, :, CK - 1] > _NEG) & (ck_last >= kb), axis=1
+    # Truncation certificates at canonical (key, pos) granularity.
+    # The gathered top_k above is exact, so a candidate can only be
+    # lost at the in-chunk CK cut or the per-supergroup M cut -- and
+    # the first victim of either cut sits canonically AFTER that cut's
+    # last survivor.  A cut can therefore reach into the kept set only
+    # when its last survivor sits STRICTLY before the selection
+    # boundary (key > boundary key, or equal key and smaller global
+    # position).  Plain bf16 boundary key ties no longer flag: they
+    # resolve by position exactly as the per-query oracle does.  This
+    # is what makes the certificate usable at multi-million-row scale,
+    # where the k-th place ALWAYS lands in a fat bf16 bucket and the
+    # round-4 `>=`-on-keys form flagged ~100% of queries (SCALE r4
+    # probe: 1022/1024 repaired, 288 q/s -- slower than no kernel).
+    key_neg_inf = 127  # _key16(-inf): no finite score maps at/below
+    kb = key_o[:, -1:]  # boundary key (_NEG / -inf when under-filled)
+    pb = flat_pos[:, -1:]  # boundary global position
+
+    ck_last = blk[:, :, CK - 1]  # (B, P) packed chunk CK-th rank
+    ck_key = jax.lax.shift_right_logical(ck_last, pos_bits)
+    ck_pos = chunk_sel * cw + ((cw - 1) - (ck_last & pos_mask))
+    flags = jnp.any(
+        (ck_last > _NEG)
+        & (ck_key > key_neg_inf)
+        & ((ck_key > kb) | ((ck_key == kb) & (ck_pos < pb))),
+        axis=1,
     )
     vl = blk[:, :, CK : CK + npc]  # (B, P, NPC) supergroup M-th rank
-    vl_keys = jax.lax.shift_right_logical(vl, pos_bits)
+    vl_key = jax.lax.shift_right_logical(vl, pos_bits)
+    vl_pos = chunk_sel[:, :, None] * cw + ((cw - 1) - (vl & pos_mask))
     flags |= jnp.any(
-        (vl > _NEG) & (vl_keys >= kb[:, :, None]), axis=(1, 2)
+        (vl > _NEG)
+        & (vl_key > key_neg_inf)
+        & (
+            (vl_key > kb[:, :, None])
+            | ((vl_key == kb[:, :, None]) & (vl_pos < pb[:, :, None]))
+        ),
+        axis=(1, 2),
     )
-    # Degenerate under-filled selection (the -1 exhaustion sentinel
-    # reached the boundary): candidates may have been truncated at the
-    # CK or M levels without a meaningful boundary key to certify
-    # against -- flag unconditionally and let the oracle repair.  Only
-    # tiny probe sets hit this; production shapes keep k_eff real.
-    flags = jnp.where(run_packed[:, -1] > _NEG, flags, True)
     return scores, flat_pos, flags

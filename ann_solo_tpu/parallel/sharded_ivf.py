@@ -27,7 +27,12 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ann_solo_tpu.index.ivf import _dedup_topk, _pad_topk
+from ann_solo_tpu.index.ivf import (
+    _canonical_topk,
+    _dedup_topk,
+    _pad_topk,
+    _scan_queries,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -71,10 +76,11 @@ def _local_ivf_scan(
     )  # (B, L_l)
 
     l_l, p, d = padded_vectors.shape
+    cast = padded_vectors.dtype != jnp.float32
     if padded_vectors.dtype == jnp.int8:
         padded_vectors = padded_vectors.astype(jnp.bfloat16)
     scores = jnp.einsum(
-        "qd,lpd->qlp", queries, padded_vectors,
+        "qd,lpd->qlp", _scan_queries(queries, cast), padded_vectors,
         preferred_element_type=jnp.float32,
     )  # (B, L_l, P)
     scores = scores * padded_scales[None, :, :]
@@ -103,7 +109,12 @@ def _local_ivf_scan(
     # entries through the local selection, then dedup ids.
     k_scan = max(k_scan, k)
     k_local = min(k_scan, l_l * p)
-    local_scores, pos = jax.lax.top_k(scores, k_local)
+    # Canonical ranking (ivf._canonical_topk): lanes are in shard-local
+    # list-major order == global position order within the shard, and
+    # the shard-major all-gather merge below preserves that order
+    # across shards, so stable top-k tie-breaks match the single-device
+    # regimes exactly (the sharded == single-device identity test).
+    local_scores, pos = _canonical_topk(scores, k_local, cast)
     local_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
     if padded_prev is not None:
         # Min-rank-copy dedup on the LOCAL selection (index/ivf.
