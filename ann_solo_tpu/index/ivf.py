@@ -897,20 +897,31 @@ def _ivf_chunked_pallas_tile(
     selection fused on-chip -- see `ops/ivf_scan_pallas.py` for the
     measurements that forced this design.
     """
-    from ann_solo_tpu.ops.ivf_scan_pallas import ivf_chunked_scan_select
+    from ann_solo_tpu.ops.ivf_scan_pallas import (
+        hot_list_count,
+        ivf_chunked_scan_select,
+    )
 
     l, cap, _ = padded_vectors.shape
     p = min(num_probe, l)
     coarse = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
     )
-    _, probe_ids = jax.lax.top_k(coarse, p)
-    probed = _probe_bitmap(probe_ids, l)
+    _, probe_ranked = jax.lax.top_k(coarse, p)  # coarse-score desc
+    probed = _probe_bitmap(probe_ranked, l)
     valid = (padded_ids >= 0).astype(jnp.int8)
+    # Hot/cold split: the top-H coarse lists go to the exact hot scan,
+    # the cold tail to the kernel (see ops.ivf_scan_pallas.
+    # hot_list_count).  Both halves sorted ascending: canonical lane
+    # order.
+    h = hot_list_count(p)
+    hot_ids = jnp.sort(probe_ranked[:, :h], axis=1) if h else None
+    cold_ids = jnp.sort(probe_ranked[:, h:], axis=1)
     run_s, flat_pos, inexact = ivf_chunked_scan_select(
         padded_vectors, valid, padded_prec, padded_scales,
-        queries, q_prec, charge, probe_ids,
-        p, k_scan, tol_val, tol_mode, interpret=interpret,
+        queries, q_prec, charge, cold_ids,
+        p - h, k_scan, tol_val, tol_mode,
+        hot_ids=hot_ids, interpret=interpret,
     )
     k_eff = run_s.shape[1]
     lists = flat_pos // cap

@@ -53,10 +53,12 @@ import jax.numpy as jnp
 import numpy as np
 
 SG = 256  # supergroup width (slots) for the in-kernel first level
-M_RANKS = 16  # candidates kept per supergroup
-CK = 64  # candidates kept per (query, chunk)
+M_RANKS = 24  # candidates kept per supergroup
+CK = 96  # candidates kept per (query, chunk)
 LANES = 128  # output lanes per (query, chunk)
+HOT_LISTS = 8  # per-query lists scanned exactly outside the kernel
 _NEG = -1  # packed sentinel below every real candidate
+_KEY_NEG_INF = 127  # _key16(-inf); every finite score maps above
 
 
 def _pick_chunk_lists(l: int, cap: int) -> int:
@@ -67,6 +69,25 @@ def _pick_chunk_lists(l: int, cap: int) -> int:
             c = cand
             break
     return c
+
+
+def hot_list_count(p: int) -> int:
+    """Hot (exactly-scanned) lists per query for a probe count ``p``.
+
+    IVF data is clustered by construction, so a query's best few coarse
+    lists hold far more of its top-k_scan than any fixed per-list
+    truncation budget: at the 2.1M-row operating point (num_probe=64,
+    k_scan=1024) the densest supergroup holds ~26-37 of the top-1024
+    (vs the kernel's M per 256 slots) and the densest chunk up to ~81
+    (vs CK), so budget-only designs flag ~98% of queries into the
+    repair path (measured 1006/1024, 294 q/s -- slower than no kernel
+    at all).  Scanning each query's top-``HOT_LISTS`` lists exactly
+    (gather + XLA einsum) and running the kernel only on the cold tail
+    drops the measured overflow rate to 0/128 at M=24/CK=96.  Small
+    probe counts keep everything in the kernel: the boundary sits high
+    enough that the budgets cover it.
+    """
+    return HOT_LISTS if p >= 2 * HOT_LISTS else 0
 
 
 def chunked_pallas_supported(
@@ -89,8 +110,9 @@ def chunked_pallas_supported(
     if CK + npc > LANES:
         return False
     p = min(num_probe, l)
+    h = hot_list_count(p)
     n_chunks = l // c
-    if p * CK < k_scan:
+    if (p - h) * CK + h * cap < k_scan:
         return False  # cannot surface k_scan candidates
     if (cw - 1).bit_length() + 16 > 31:
         return False  # packed key16|pos must fit an int32
@@ -212,6 +234,68 @@ def _scan_kernel(
     out_ref[:] = jnp.concatenate([top, v_last, pad], axis=1)
 
 
+_HOT_TILE = 64  # queries per hot-scan map step (bounds the gather block)
+
+
+def _hot_scan(
+    padded_vectors, padded_valid, padded_prec, padded_scales,
+    queries, q_prec, charge, hot_ids, k_hot: int,
+    tol_val: float, tol_mode: str,
+):
+    """Exact canonical scan of each query's hot lists (XLA).
+
+    Gathers the (H, cap, D) blocks of the per-query hot lists (sorted
+    ASCENDING, so the flattened lane order is global-position order)
+    and selects the canonical top-``k_hot`` -- a stable ``top_k`` over
+    ``_key16`` keys.  One library-fraction of gather traffic per batch
+    (B*H slices), bounded by ``_HOT_TILE``-query map steps.
+
+    Returns ``(keys, flat_pos)``: (B, k_hot) int32 bf16-keys and global
+    positions; under-filled lanes carry keys <= `_KEY_NEG_INF`.
+    """
+    l, cap, d = padded_vectors.shape
+    b, h = hot_ids.shape
+    tile = min(b, _HOT_TILE)
+
+    def tile_fn(inp):
+        hids, q, qp = inp  # (T, H), (T, D), (T,)
+        vecs = padded_vectors[hids].astype(jnp.bfloat16)  # (T,H,cap,D)
+        s = jnp.einsum(
+            "td,thcd->thc", q.astype(jnp.bfloat16), vecs,
+            preferred_element_type=jnp.float32,
+        )
+        s = s * padded_scales[hids]
+        ok = padded_valid[hids] > 0
+        if tol_val > 0:
+            prec = padded_prec[hids]  # (T, H, cap)
+            dm = jnp.abs(qp[:, None, None] - prec)
+            if tol_mode == "Da":
+                ok &= dm * charge <= tol_val
+            else:
+                ok &= dm / jnp.maximum(prec, 1e-6) * 1e6 <= tol_val
+        flat = jnp.where(ok, s, -jnp.inf).reshape(-1, h * cap)
+        keys = _key16(flat)
+        top_keys, pos = jax.lax.top_k(keys, k_hot)  # stable: canonical
+        fp = (
+            hids[:, :, None] * cap
+            + jax.lax.broadcasted_iota(jnp.int32, (hids.shape[0], h, cap), 2)
+        ).reshape(-1, h * cap)
+        top_pos = jnp.take_along_axis(fp, pos, axis=1)
+        return top_keys, top_pos
+
+    if tile == b:
+        return tile_fn((hot_ids, queries, q_prec))
+    keys, pos = jax.lax.map(
+        tile_fn,
+        (
+            hot_ids.reshape(-1, tile, h),
+            queries.reshape(-1, tile, queries.shape[1]),
+            q_prec.reshape(-1, tile),
+        ),
+    )
+    return keys.reshape(b, -1), pos.reshape(b, -1)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -226,14 +310,23 @@ def ivf_chunked_scan_select(
     queries,  # (B, Dp) f32, B a power of two
     q_prec,  # (B,) f32
     charge,  # () f32
-    probe_ids,  # (B, P) int32 probed list ids
-    num_probe: int,
+    probe_ids,  # (B, P) int32 COLD probed list ids, sorted ascending
+    num_probe: int,  # cold probe count P
     k_scan: int,
     tol_val: float,
     tol_mode: str,
+    hot_ids=None,  # (B, H) int32 hot list ids, sorted ascending
     interpret: bool = False,
 ):
-    """Fused chunked scan + exact selection.
+    """Fused chunked scan + exact selection (+ hot-list hybrid).
+
+    ``probe_ids`` holds each query's COLD probed lists (kernel path,
+    per-list truncation budgets + certificates); ``hot_ids`` -- when
+    given -- holds its top-``hot_list_count`` coarse lists, scanned
+    EXACTLY by `_hot_scan` and merged canonically, so the kernel's
+    budgets only face the flat cold tail (see `hot_list_count` for the
+    measurements that forced the split).  Hot and cold sets must be
+    disjoint per query.
 
     Returns ``(scores, flat_pos, flags)``: (B, k_eff) f32 scores at
     bf16-truncation precision, (B, k_eff) int32 flat positions
@@ -252,7 +345,6 @@ def ivf_chunked_scan_select(
     pos_bits = (cw - 1).bit_length()
     bt = min(256, b)
     p_sel = min(num_probe, l, n_chunks)
-    k_eff = min(k_scan, p_sel * CK)
 
     q_bf = queries.astype(jnp.bfloat16)
     qp2 = q_prec[:, None].astype(jnp.float32)
@@ -338,30 +430,54 @@ def ivf_chunked_scan_select(
     )
     # lax.top_k is stable (equal keys keep ascending lane order), so
     # this IS the canonical selection -- exact over the gathered set.
-    key_o, p_idx = jax.lax.top_k(cand_keys, k_eff)
+    k_cold = min(k_scan, p_sel * CK)
+    key_c, p_idx = jax.lax.top_k(cand_keys, k_cold)
     run_packed = jnp.take_along_axis(cands, p_idx, axis=1)
     pos_in = (cw - 1) - (run_packed & pos_mask)
     chunk_rank = p_idx // CK
     chunk_id = jnp.take_along_axis(chunk_sel, chunk_rank, axis=1)
-    flat_pos = chunk_id * cw + pos_in
-    scores = _key16_to_f32(key_o)
-    scores = jnp.where(key_o > _NEG, scores, -jnp.inf)
+    pos_c = chunk_id * cw + pos_in
 
-    # Truncation certificates at canonical (key, pos) granularity.
-    # The gathered top_k above is exact, so a candidate can only be
-    # lost at the in-chunk CK cut or the per-supergroup M cut -- and
-    # the first victim of either cut sits canonically AFTER that cut's
-    # last survivor.  A cut can therefore reach into the kept set only
-    # when its last survivor sits STRICTLY before the selection
-    # boundary (key > boundary key, or equal key and smaller global
-    # position).  Plain bf16 boundary key ties no longer flag: they
-    # resolve by position exactly as the per-query oracle does.  This
-    # is what makes the certificate usable at multi-million-row scale,
-    # where the k-th place ALWAYS lands in a fat bf16 bucket and the
-    # round-4 `>=`-on-keys form flagged ~100% of queries (SCALE r4
-    # probe: 1022/1024 repaired, 288 q/s -- slower than no kernel).
-    key_neg_inf = 127  # _key16(-inf): no finite score maps at/below
-    kb = key_o[:, -1:]  # boundary key (_NEG / -inf when under-filled)
+    if hot_ids is not None:
+        # Hot lists: exact scan, then a canonical two-key merge --
+        # (key desc, global position asc) via lexicographic lax.sort on
+        # (-key, pos).  Hot and cold positions are disjoint, and both
+        # inputs already carry canonical (key, pos) pairs, so the
+        # merged prefix IS the canonical top-k_eff over the full probe
+        # set -- identical to the per-query oracle wherever the cold
+        # certificate holds.
+        h = hot_ids.shape[1]
+        k_hot = min(k_scan, h * cap)
+        key_h, pos_h = _hot_scan(
+            padded_vectors, padded_valid, padded_prec, padded_scales,
+            queries, q_prec, charge, hot_ids, k_hot, tol_val, tol_mode,
+        )
+        k_eff = min(k_scan, k_cold + k_hot)
+        neg = -jnp.concatenate([key_c, key_h], axis=1)
+        pos_m = jnp.concatenate([pos_c, pos_h], axis=1)
+        neg_s, pos_s = jax.lax.sort((neg, pos_m), num_keys=2)
+        key_o = -neg_s[:, :k_eff]
+        flat_pos = pos_s[:, :k_eff]
+    else:
+        k_eff = k_cold
+        key_o, flat_pos = key_c, pos_c
+    scores = _key16_to_f32(key_o)
+    scores = jnp.where(key_o > _KEY_NEG_INF, scores, -jnp.inf)
+
+    # Truncation certificates at canonical (key, pos) granularity,
+    # against the MERGED selection boundary (hot candidates raise it,
+    # which is most of the hybrid's win).  The gathered/merged top_k is
+    # exact, so a candidate can only be lost at the in-chunk CK cut or
+    # the per-supergroup M cut -- and the first victim of either cut
+    # sits canonically AFTER that cut's last survivor.  A cut can
+    # therefore reach into the kept set only when its last survivor
+    # sits STRICTLY before the boundary (key > boundary key, or equal
+    # key and smaller global position).  Plain bf16 boundary key ties
+    # do not flag: they resolve by position exactly as the per-query
+    # oracle does (the round-4 `>=`-on-keys form flagged ~100% of
+    # multi-million-row queries -- the k-th place always lands in a fat
+    # bf16 bucket).
+    kb = key_o[:, -1:]  # boundary key (sentinel when under-filled)
     pb = flat_pos[:, -1:]  # boundary global position
 
     ck_last = blk[:, :, CK - 1]  # (B, P) packed chunk CK-th rank
@@ -369,7 +485,7 @@ def ivf_chunked_scan_select(
     ck_pos = chunk_sel * cw + ((cw - 1) - (ck_last & pos_mask))
     flags = jnp.any(
         (ck_last > _NEG)
-        & (ck_key > key_neg_inf)
+        & (ck_key > _KEY_NEG_INF)
         & ((ck_key > kb) | ((ck_key == kb) & (ck_pos < pb))),
         axis=1,
     )
@@ -378,7 +494,7 @@ def ivf_chunked_scan_select(
     vl_pos = chunk_sel[:, :, None] * cw + ((cw - 1) - (vl & pos_mask))
     flags |= jnp.any(
         (vl > _NEG)
-        & (vl_key > key_neg_inf)
+        & (vl_key > _KEY_NEG_INF)
         & (
             (vl_key > kb[:, :, None])
             | ((vl_key == kb[:, :, None]) & (vl_pos < pb[:, :, None]))

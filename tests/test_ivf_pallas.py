@@ -55,7 +55,7 @@ def _synthetic(rng, l=64, cap=128, d=128, dtype=np.float32):
 
 def _dense_reference(
     vecs, ids, prec, scales, cents, queries, q_prec, charge,
-    p, k_scan, tol_val, tol_mode,
+    p, k_scan, tol_val, tol_mode, probe_override=None,
 ):
     """Canonical dense oracle: bf16 query x bf16 vector dots in f32,
     ranked by the CANONICAL (bf16 key desc, global position asc) order
@@ -63,9 +63,12 @@ def _dense_reference(
     position-for-position, ties included."""
     from ann_solo_tpu.ops.ivf_scan_pallas import _key16, _key16_to_f32
 
-    coarse = queries @ cents.T
-    order = np.argsort(-coarse, axis=1, kind="stable")
-    probes = order[:, :p]
+    if probe_override is None:
+        coarse = queries @ cents.T
+        order = np.argsort(-coarse, axis=1, kind="stable")
+        probes = order[:, :p]
+    else:
+        probes = np.asarray(probe_override)
     l, cap, d = vecs.shape
     v = jnp.asarray(vecs).astype(jnp.bfloat16).reshape(l * cap, d)
     q = jnp.asarray(queries).astype(jnp.bfloat16)
@@ -261,6 +264,44 @@ def test_pallas_chunked_truncation_certificate():
     assert np.asarray(flags).all(), (
         "CK truncation must trip the certificate"
     )
+
+    # Hot-list hybrid: routing the stuffed list through the exact hot
+    # scan instead of the kernel removes the truncation (its >CK
+    # winners are scanned exactly and merged canonically) -- same
+    # probed set, zero flags, results equal the canonical dense oracle.
+    # k_scan shrinks to the hot list's capacity: the spike holds the
+    # ENTIRE top-k, which is precisely the case the kernel's budgets
+    # can never certify and the hybrid turns into zero flags.
+    k_scan = cap
+    hot_ids = np.tile(np.array([3], np.int32), (b, 1))
+    cold_ids = np.tile(np.array([17, 33, 49], np.int32), (b, 1))
+    run_s, flat_pos, flags = ivf_chunked_scan_select(
+        jnp.asarray(vecs).astype(jnp.bfloat16),
+        jnp.asarray((all_ids >= 0).astype(np.int8)),
+        jnp.asarray(prec), jnp.asarray(scales),
+        jnp.asarray(queries), jnp.asarray(np.zeros(b, np.float32)),
+        jnp.float32(1.0), jnp.asarray(cold_ids), p - 1, k_scan,
+        0.0, "Da", hot_ids=jnp.asarray(hot_ids), interpret=True,
+    )
+    assert not np.asarray(flags).any(), "hot scan must absorb the spike"
+    vecs_bf = np.asarray(jnp.asarray(vecs, np.float32).astype(jnp.bfloat16))
+    want_pos, want_s = _dense_reference(
+        vecs_bf, all_ids, prec, scales, cents, queries,
+        np.zeros(b, np.float32), 1.0, p, k_scan, 0.0, "Da",
+        probe_override=probe_ids,
+    )
+    run_s = np.asarray(run_s)
+    flat_pos = np.asarray(flat_pos)
+    for qq in range(b):
+        finite = run_s[qq] > -np.inf
+        np.testing.assert_array_equal(
+            flat_pos[qq][finite], want_pos[qq][: finite.sum()],
+            err_msg=f"query {qq}",
+        )
+        np.testing.assert_array_equal(
+            run_s[qq][finite], want_s[qq][: finite.sum()],
+            err_msg=f"query {qq} scores",
+        )
 
 
 def _assert_same_up_to_boundary_ties(got, want, want_s, qq):
