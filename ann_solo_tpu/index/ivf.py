@@ -949,6 +949,100 @@ def _ivf_chunked_pallas_tile(
     return out_s, out_i, inexact
 
 
+@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14))
+def _ivf_probe_scan_tile(
+    padded_vectors,  # (L, cap, Dp) int8/bf16, cap % 128 == Dp % 128 == 0
+    padded_ids,  # (L, cap) int32
+    padded_prec,  # (L, cap) f32
+    padded_scales,  # (L, cap) f32
+    padded_prev,  # (L, cap, R-1) int32 or None
+    centroids,  # (L, Dp) f32
+    queries,  # (B, Dp) f32, B a power of two
+    q_prec,  # (B,) f32
+    charge,  # () f32
+    num_probe: int,
+    k: int,
+    k_scan: int,
+    tol_val: float,
+    tol_mode: str,
+    interpret: bool = False,
+):
+    """EXACT probe-gather scan: the primary big-library select path.
+
+    Streams each query's probed list blocks at DMA bandwidth through
+    the `ops.ivf_probe_pallas` kernel (which runs NO selection -- the
+    round-4 profile showed in-kernel selection, not the scan, is what
+    made the fused chunked kernel 2.57 s/batch), then selects once in
+    canonical form.  The lane layout (probe lists sorted ascending,
+    slots in order) is exactly `_ivf_search_perquery`'s, and the same
+    `_canonical_topk` + `_dedup_topk_prev` finalization runs on it, so
+    results match the per-query oracle with no certificates and no
+    repair path.
+
+    The build only 8-aligns list capacity (`_auto_cap`), while Mosaic
+    lane layout wants the kernel's slot axis 128-aligned; misaligned
+    caps are zero-padded here, inside the jit.  The pad is a no-op when
+    cap is already aligned and costs one extra library rewrite per
+    super-tile otherwise (<~10% of the scan traffic); padded slots are
+    invalid (`ids < 0`) everywhere, and the (list asc, slot asc)
+    position order -- the canonical tie-break -- is preserved by the
+    monotone (list, slot) -> list * cap128 + slot remap, so
+    bit-identity with `_ivf_search_perquery` survives the pad.
+    """
+    from ann_solo_tpu.ops.ivf_probe_pallas import ivf_probe_scan
+
+    l, cap, d = padded_vectors.shape
+    p = min(num_probe, l)
+    k_eff = min(k_scan, p * cap)
+    cap128 = -(-cap // 128) * 128
+    if cap128 != cap:
+        pad = ((0, 0), (0, cap128 - cap))
+        padded_vectors = jnp.pad(
+            padded_vectors, (*pad, (0, 0))
+        )
+        padded_ids = jnp.pad(padded_ids, pad, constant_values=-1)
+        padded_prec = jnp.pad(padded_prec, pad)
+        padded_scales = jnp.pad(padded_scales, pad)
+        if padded_prev is not None:
+            padded_prev = jnp.pad(
+                padded_prev, (*pad, (0, 0)), constant_values=-1
+            )
+        cap = cap128
+    coarse = jnp.dot(
+        queries, centroids.T, preferred_element_type=jnp.float32
+    )
+    _, probe_ids = jax.lax.top_k(coarse, p)
+    probe_ids = jnp.sort(probe_ids, axis=1)  # global position order
+    meta = jnp.concatenate(
+        [
+            padded_prec.astype(jnp.float32),
+            padded_scales.astype(jnp.float32),
+            (padded_ids >= 0).astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (L, 3 * cap)
+    flat = ivf_probe_scan(
+        padded_vectors, meta, queries, q_prec, charge, probe_ids,
+        tol_val, tol_mode, interpret,
+    )  # (B, P * cap) f32, -inf masked
+    top_scores, pos = _canonical_topk(flat, k_eff, cast=True)
+    lp = pos // cap
+    slot = pos - lp * cap
+    lists = jnp.take_along_axis(probe_ids, lp, axis=1)
+    top_ids = jnp.where(
+        top_scores > -jnp.inf, padded_ids[lists, slot], -1
+    )
+    if padded_prev is not None:
+        probed = _probe_bitmap(probe_ids, l)
+        top_scores, top_ids = _dedup_topk_prev(
+            top_scores, pos, top_ids, probe_ids, probed, padded_prev,
+            cap, k,
+        )
+    elif k_eff > k:
+        top_scores, top_ids = _dedup_topk(top_scores, top_ids, k)
+    return _pad_topk(top_scores, top_ids, k)
+
+
 def chunked_scan_params(
     l: int, cap: int, num_probe: int, k_scan: int, b: int
 ):
@@ -1639,11 +1733,32 @@ class IvfIndex:
         budget = min(l, max(_TILE_LIST_SLACK * num_probe, num_probe + 8))
         if self._tiles_degenerate and budget < l:
             # Sticky fast path: this index's query sets share too few
-            # lists for tile-level scanning.  The chunked full scan
-            # amortizes the library stream over _CHUNK_TQ queries and
-            # beats per-query gathers whenever L / _CHUNK_TQ <
-            # num_probe; otherwise the exact per-query gather scan.
-            if l <= num_probe * _CHUNK_TQ:
+            # lists for tile-level scanning.  _search_chunked dispatches
+            # to the probe-gather kernel when supported (its HBM traffic
+            # is B * P * cap * D -- independent of L -- so it beats the
+            # per-query lax.gather scan at ANY library size); the
+            # chunked full scan otherwise amortizes the library stream
+            # over _CHUNK_TQ queries and beats per-query gathers
+            # whenever L / _CHUNK_TQ < num_probe; else the exact
+            # per-query gather scan.
+            from ann_solo_tpu.ops.ivf_probe_pallas import (
+                probe_scan_supported,
+            )
+            from ann_solo_tpu.ops.shifted_dot_pallas import (
+                use_pallas_default,
+            )
+
+            probe_env = os.environ.get("ANN_SOLO_TPU_PROBE_PALLAS", "1")
+            probe_ok = (
+                probe_env != "0"
+                and (use_pallas_default() or probe_env == "force")
+                and probe_scan_supported(
+                    l, cap, dp, num_probe, k_scan,
+                    np.dtype(self.padded_vectors.dtype),
+                    _next_pow2(min(b, _CHUNK_TQ)),
+                )
+            )
+            if probe_ok or l <= num_probe * _CHUNK_TQ:
                 return self._search_chunked(
                     queries_d, q_prec_d, charge_d, b, num_probe, k,
                     k_scan, tol_val, tol_mode,
@@ -1706,12 +1821,19 @@ class IvfIndex:
     ):
         """Big-library chunked scan over `_CHUNK_TQ`-query super-tiles.
 
-        Runs `_ivf_search_chunked` per super-tile (the library block
-        streams from HBM once per super-tile), accumulates the per-query
-        exactness certificates, and repairs the rare flagged queries
-        through the exact per-query gather scan -- results are identical
-        to `_ivf_search_perquery` by construction.
+        The primary path is the EXACT probe-gather kernel
+        (`_ivf_probe_scan_tile`, `ops/ivf_probe_pallas.py`) -- no
+        certificates, no repairs, results identical to
+        `_ivf_search_perquery` by the shared canonical selection.  The
+        fused chunked kernel and the XLA chunked scan remain as
+        fallbacks (f32 storage, ragged shapes); those run
+        `_ivf_search_chunked`-style truncation certificates per
+        super-tile and repair flagged queries through the per-query
+        oracle.
         """
+        from ann_solo_tpu.ops.ivf_probe_pallas import (
+            probe_scan_supported,
+        )
         from ann_solo_tpu.ops.ivf_scan_pallas import (
             chunked_pallas_supported,
         )
@@ -1723,10 +1845,22 @@ class IvfIndex:
         prev_d = self._device_prev
         l, cap, _ = self.padded_vectors.shape
         dp = vectors_d.shape[-1]
+        probe_env = os.environ.get("ANN_SOLO_TPU_PROBE_PALLAS", "1")
         pallas_env = os.environ.get("ANN_SOLO_TPU_CHUNKED_PALLAS", "1")
+        pallas_ok = use_pallas_default() or pallas_env == "force"
+        use_probe = (
+            probe_env != "0"
+            and (pallas_ok or probe_env == "force")
+            and probe_scan_supported(
+                l, cap, dp, num_probe, k_scan,
+                np.dtype(self.padded_vectors.dtype),
+                _next_pow2(min(b, _CHUNK_TQ)),
+            )
+        )
         use_pallas = (
-            pallas_env != "0"
-            and (use_pallas_default() or pallas_env == "force")
+            not use_probe
+            and pallas_env != "0"
+            and pallas_ok
             and chunked_pallas_supported(
                 l, cap, dp, num_probe, k_scan,
                 np.dtype(self.padded_vectors.dtype),
@@ -1737,13 +1871,23 @@ class IvfIndex:
         # axon plugin force-selects the tunneled TPU backend, so
         # `jax.default_backend()` says "tpu" even when tests pin the
         # default device to CPU).
-        interpret = use_pallas and not use_pallas_default()
-        # Super-tile size: the fused kernel never materializes scores,
-        # so it always runs full _CHUNK_TQ tiles; the XLA fallback's
-        # pass-A score block (B, L * cap) in storage precision must fit
-        # HBM alongside the list block itself (4 GB budget keeps
-        # per-chip-capacity indexes viable).
-        if use_pallas:
+        interpret = (use_probe or use_pallas) and not use_pallas_default()
+        # Super-tile size: the probe-gather path materializes a
+        # (tq, P * cap) f32 score block (bounded to ~512 MB); the fused
+        # kernel never materializes scores, so it always runs full
+        # _CHUNK_TQ tiles; the XLA fallback's pass-A score block
+        # (B, L * cap) in storage precision must fit HBM alongside the
+        # list block itself (4 GB budget keeps per-chip-capacity
+        # indexes viable).
+        if use_probe:
+            p = min(num_probe, l)
+            cap128 = -(-cap // 128) * 128
+            tq = min(
+                _CHUNK_TQ,
+                max(128, (512 << 20) // max(p * cap128 * 4, 1)),
+            )
+            tq = max(128, _next_pow2(tq + 1) // 2)  # floor to pow2
+        elif use_pallas:
             tq = _CHUNK_TQ
         else:
             score_bytes = (
@@ -1764,7 +1908,14 @@ class IvfIndex:
             if n_pad != n:
                 qt = jnp.pad(qt, ((0, n_pad - n), (0, 0)))
                 qpt = jnp.pad(qpt, (0, n_pad - n))
-            if use_pallas:
+            if use_probe:
+                s, i = _ivf_probe_scan_tile(
+                    vectors_d, ids_d, prec_d, scales_d, prev_d,
+                    centroids_d, qt, qpt, charge_d, num_probe, k,
+                    k_scan, tol_val, tol_mode, interpret,
+                )
+                inexact = jnp.zeros((qt.shape[0],), bool)  # exact path
+            elif use_pallas:
                 s, i, inexact = _ivf_chunked_pallas_tile(
                     vectors_d, ids_d, prec_d, scales_d, prev_d,
                     centroids_d, qt, qpt, charge_d, num_probe, k,

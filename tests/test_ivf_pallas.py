@@ -356,6 +356,7 @@ def test_pallas_e2e_dispatch_forced(monkeypatch):
     )  # fullscan regime
     monkeypatch.setattr(ivf_mod, "_FULLSCAN_TRANSIENT", 0)
     monkeypatch.setenv("ANN_SOLO_TPU_CHUNKED_PALLAS", "force")
+    monkeypatch.setenv("ANN_SOLO_TPU_PROBE_PALLAS", "0")  # pin fused
     index._device = None  # re-upload with the chunked-regime D padding
     assert index.device_dim == 128  # d already aligned; no-op pad
     got = index.search(
@@ -391,6 +392,7 @@ def test_pallas_e2e_dispatch_redundant_and_ragged_d(monkeypatch):
     want, want_s = index.search_with_scores(queries, k, num_probe=16)
     monkeypatch.setattr(ivf_mod, "_FULLSCAN_TRANSIENT", 0)
     monkeypatch.setenv("ANN_SOLO_TPU_CHUNKED_PALLAS", "force")
+    monkeypatch.setenv("ANN_SOLO_TPU_PROBE_PALLAS", "0")  # pin fused
     index._device = None
     assert index.device_dim == 128  # ragged 100 -> 128 pad
     got = index.search(queries, k, num_probe=16)
@@ -436,6 +438,7 @@ def test_pallas_identity_vs_perquery_tie_heavy(monkeypatch):
 
     monkeypatch.setattr(ivf_mod, "_FULLSCAN_TRANSIENT", 0)
     monkeypatch.setenv("ANN_SOLO_TPU_CHUNKED_PALLAS", "force")
+    monkeypatch.setenv("ANN_SOLO_TPU_PROBE_PALLAS", "0")  # pin fused
     index._device = None
     got_ids, got_s = index.search_with_scores(
         queries, k, num_probe=p, charge=2.0,
