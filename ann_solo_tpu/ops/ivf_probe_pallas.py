@@ -89,16 +89,20 @@ def _probe_scan_kernel(
     # probe_ref (scalar prefetch) is consumed by the index maps only.
     probe_ref,  # (B, P) int32 SMEM
     charge_ref,  # (1, 1) f32 SMEM
-    q_ref,  # (bt, D) bf16
-    qp_ref,  # (bt, 1) f32
-    *refs,  # bt vector refs (cap, D), bt meta refs (1, 3 * cap), out
+    q_ref,  # (1, bt, D) bf16
+    qp_ref,  # (1, bt, 1) f32
+    *refs,  # bt vector refs (cap, D), bt meta refs (1, 1, 3 * cap), out
     bt: int,
     cap: int,
     tol_val: float,
     tol_mode: str,
 ):
-    out_ref = refs[-1]
-    q = q_ref[:]  # (bt, D) bf16
+    # Mosaic constrains a block's trailing two dims to (8k, 128k) OR to
+    # the exact array dims; bt can be < 8 (VMEM-bounded), so every
+    # bt-shaped operand carries a leading singleton grid axis and keeps
+    # its trailing dims equal to the array's (see ivf_probe_scan).
+    out_ref = refs[-1]  # (1, 1, bt, cap)
+    q = q_ref[0]  # (bt, D) bf16
     rows = []
     for j in range(bt):
         v = refs[j][:].astype(jnp.bfloat16)  # (cap, D)
@@ -107,21 +111,21 @@ def _probe_scan_kernel(
             preferred_element_type=jnp.float32,
         )  # (bt, cap) f32; only row j is this block's query
         sj = s[j : j + 1, :]  # (1, cap)
-        meta = refs[bt + j][:]  # (1, 3 * cap) f32
+        meta = refs[bt + j][0]  # (1, 3 * cap) f32
         prec = meta[:, :cap]
         scale = meta[:, cap : 2 * cap]
         vld = meta[:, 2 * cap :]
         sj = sj * scale
         ok = vld > 0.0
         if tol_val > 0:
-            qpj = qp_ref[j : j + 1, :]  # (1, 1)
+            qpj = qp_ref[0, j : j + 1, :]  # (1, 1)
             dm = jnp.abs(qpj - prec)
             if tol_mode == "Da":
                 ok &= dm * charge_ref[0, 0] <= tol_val
             else:
                 ok &= dm / jnp.maximum(prec, 1e-6) * 1e6 <= tol_val
         rows.append(jnp.where(ok, sj, -jnp.inf))
-    out_ref[:] = jnp.concatenate(rows, axis=0)  # (bt, cap) f32
+    out_ref[0, 0] = jnp.concatenate(rows, axis=0)  # (bt, cap) f32
 
 
 def ivf_probe_scan(
@@ -150,12 +154,17 @@ def ivf_probe_scan(
     if bt < 1:
         raise ValueError("unsupported probe-scan operating point")
 
-    q_bf = queries.astype(jnp.bfloat16)
-    qp2 = q_prec[:, None].astype(jnp.float32)
+    # bt-shaped blocks with bt < 8 violate Mosaic's (8, 128) trailing-
+    # dim rule unless the block dims EQUAL the array dims, so the
+    # query/meta/out arrays are reshaped with a leading grid axis and
+    # full-array trailing dims (see kernel comment).
+    q_bf = queries.astype(jnp.bfloat16).reshape(b // bt, bt, d)
+    qp3 = q_prec.astype(jnp.float32).reshape(b // bt, bt, 1)
     charge2 = jnp.asarray(charge, jnp.float32).reshape(1, 1)
     vecs_flat = padded_vectors.reshape(l * cap, d)
+    meta3 = meta.reshape(l, 1, 3 * cap)
 
-    def vec_im(j):
+    def block_im(j):
         def im(i, pp, probe_ref):
             return (probe_ref[i * bt + j, pp], 0)
 
@@ -163,24 +172,24 @@ def ivf_probe_scan(
 
     def meta_im(j):
         def im(i, pp, probe_ref):
-            return (probe_ref[i * bt + j, pp], 0)
+            return (probe_ref[i * bt + j, pp], 0, 0)
 
         return im
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # charge
-        pl.BlockSpec((bt, d), lambda i, pp, pr: (i, 0),
+        pl.BlockSpec((1, bt, d), lambda i, pp, pr: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, 1), lambda i, pp, pr: (i, 0),
+        pl.BlockSpec((1, bt, 1), lambda i, pp, pr: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for j in range(bt):
         in_specs.append(
-            pl.BlockSpec((cap, d), vec_im(j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((cap, d), block_im(j), memory_space=pltpu.VMEM)
         )
     for j in range(bt):
         in_specs.append(
-            pl.BlockSpec((1, 3 * cap), meta_im(j),
+            pl.BlockSpec((1, 1, 3 * cap), meta_im(j),
                          memory_space=pltpu.VMEM)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -188,7 +197,7 @@ def ivf_probe_scan(
         grid=(b // bt, p),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (bt, cap), lambda i, pp, pr: (i, pp),
+            (1, 1, bt, cap), lambda i, pp, pr: (i, pp, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -196,12 +205,15 @@ def ivf_probe_scan(
         _probe_scan_kernel,
         bt=bt, cap=cap, tol_val=tol_val, tol_mode=tol_mode,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, p * cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b // bt, p, bt, cap),
+                                       jnp.float32),
         interpret=interpret,
     )(
-        probe_ids.astype(jnp.int32), charge2, q_bf, qp2,
-        *([vecs_flat] * bt), *([meta] * bt),
+        probe_ids.astype(jnp.int32), charge2, q_bf, qp3,
+        *([vecs_flat] * bt), *([meta3] * bt),
     )
+    # (b//bt, p, bt, cap) -> (B, P * cap) in (probe-rank, slot) order.
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, p * cap)

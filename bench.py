@@ -3,11 +3,13 @@
 Workload (reference ANN operating point rescaled for TPU block sizes,
 BASELINE.md / notebooks/iprg2012_ann_hyperparameters.ipynb sweep grid):
 a synthetic iPRG2012-scale charge partition (131,072 library spectra,
-hash_len=800), open search +/-500 Da, IVF with num_list=2048 /
-num_probe=128 (~6% of lists scanned -- non-degenerate) and the precursor
-window fused into the scan mask, bf16 list storage, num_candidates=1024
-per query, exact shifted-dot rescoring (charge 2 -> 3 shift lanes) of the
-full (B, C) candidate matrix on device, best-match selection.
+hash_len=800), open search +/-500 Da, IVF at the SHIPPED defaults --
+size-aware auto num_list (resolve_num_list: 13*sqrt(n) -> 4096 here,
+the SWEEP_r03 Pareto winner) / num_probe=128, precursor window fused
+into the scan mask, default list storage (override with
+ANN_SOLO_TPU_BENCH_DTYPE=bf16|int8), num_candidates=1024 per query,
+exact shifted-dot rescoring (charge 2 -> 3 shift lanes) of the full
+(B, C) candidate matrix on device, best-match selection.
 
 The measured span is the full per-batch pipeline: query vectorization ->
 IVF candidate selection (fused window) -> fused device rescoring -> best
@@ -23,10 +25,15 @@ stage/MFU/build diagnostics}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# IVF list storage for the benchmark index; int8 (SQ8) cuts scan
+# traffic ~2x vs bf16 (QUALITY_r04 measures its IDs impact).
+BENCH_DTYPE = os.environ.get("ANN_SOLO_TPU_BENCH_DTYPE", "bf16")
 
 REFERENCE_QPS = 105.0  # GPU-FAISS reference throughput (see module docstring)
 
@@ -35,7 +42,7 @@ N_QUERIES = 4096
 N_BATCHES = 4
 K_PEAKS = 50
 HASH_LEN = 800
-NUM_LIST = 2048
+NUM_LIST = 0  # 0 = the shipped size-aware auto default (-> 4096 here)
 NUM_PROBE = 128
 NUM_CANDIDATES = 1024
 CHARGE = 2
@@ -124,10 +131,15 @@ def main():
         np.asarray(ix.padded_vectors[-1, -1:])
         np.asarray(ix.padded_ids[-1, -1:])
 
+    storage_dtype = np.int8 if BENCH_DTYPE == "int8" else None
+    build_kwargs = (
+        {"storage_dtype": storage_dtype} if storage_dtype is not None
+        else {}
+    )
     t0 = time.perf_counter()
     index = IvfIndex.build(
         lib_vectors, BenchConfig(),
-        precursor_mz=lib_prec.astype(np.float32),
+        precursor_mz=lib_prec.astype(np.float32), **build_kwargs,
     )
     _materialize(index)
     t_build = time.perf_counter() - t0
@@ -136,7 +148,7 @@ def main():
     t0 = time.perf_counter()
     index2 = IvfIndex.build(
         lib_vectors, BenchConfig(),
-        precursor_mz=lib_prec.astype(np.float32),
+        precursor_mz=lib_prec.astype(np.float32), **build_kwargs,
     )
     _materialize(index2)
     t_build_warm = time.perf_counter() - t0
@@ -145,7 +157,7 @@ def main():
     log(
         f"IVF train+pack: cold {t_build:.2f}s, steady-state "
         f"{t_build_warm:.2f}s ({build_rate:.0f} vectors/sec, "
-        f"{index.bytes_per_vector:.0f} B/vector bf16)"
+        f"{index.bytes_per_vector:.0f} B/vector {BENCH_DTYPE})"
     )
 
     lib_mz_d = jnp.asarray(lib_mz)
@@ -307,7 +319,8 @@ def main():
         json.dumps(
             {
                 "metric": "iPRG2012-scale open-search throughput "
-                "(131k library, IVF 2048/128 fused window, 1024 "
+                f"(131k library, IVF {index.num_list}/{NUM_PROBE} "
+                f"fused window, {BENCH_DTYPE} storage, 1024 "
                 "candidates, shifted dot)",
                 "value": round(qps, 2),
                 "unit": "queries/sec/chip",
@@ -320,6 +333,8 @@ def main():
                 "ivf_build_sec_cold": round(t_build, 2),
                 "ivf_build_sec": round(t_build_warm, 2),
                 "ivf_build_vectors_per_sec": round(build_rate, 0),
+                "num_list": index.num_list,
+                "index_dtype": BENCH_DTYPE,
                 "index_bytes_per_vector": round(
                     index.bytes_per_vector, 1
                 ),
