@@ -1696,7 +1696,15 @@ class IvfIndex:
             self.device_arrays()
         )
         prev_d = self._device_prev
-        charge_d = jnp.float32(charge)
+        # Device scalar cached per charge value: a fresh jnp.float32
+        # per call is one host->device RPC on tunneled backends (the
+        # per-charge engine reuses a handful of values).
+        cache = self.__dict__.setdefault("_charge_scalars", {})
+        charge_d = cache.get(float(charge))
+        if charge_d is None:
+            charge_d = cache.setdefault(
+                float(charge), jnp.float32(charge)
+            )
         l, cap, _ = self.padded_vectors.shape
         k_scan = self.redundancy * k
         queries_d = jnp.asarray(queries, jnp.float32)

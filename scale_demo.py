@@ -273,7 +273,7 @@ def main():
     cand = np.asarray(cand_d)  # one untimed download for validation
     t_warm = time.perf_counter() - t0
     log(f"warmup search: {t_warm:.1f}s")
-    n_runs = 4
+    n_runs = 8
     t0 = time.perf_counter()
     for _ in range(n_runs):
         out = search_device()
