@@ -196,8 +196,9 @@ def main(args=None) -> int:
     parser.add_argument("--model", default="none",
                         choices=["none", "rf", "svm"])
     parser.add_argument("--open-tolerance", type=float, default=300.0)
-    parser.add_argument("--num_list", type=int, default=4096)
-    parser.add_argument("--num_probe", type=int, default=128)
+    parser.add_argument("--num_list", type=int, default=0,
+                        help="0 = the shipped size-aware auto default")
+    parser.add_argument("--num_probe", type=int, default=256)
     parser.add_argument("--num_candidates", type=int, default=1024)
     parser.add_argument("--index_dtype", default="bf16",
                         choices=["bf16", "f32", "int8"],

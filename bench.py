@@ -5,7 +5,8 @@ BASELINE.md / notebooks/iprg2012_ann_hyperparameters.ipynb sweep grid):
 a synthetic iPRG2012-scale charge partition (131,072 library spectra,
 hash_len=800), open search +/-500 Da, IVF at the SHIPPED defaults --
 size-aware auto num_list (resolve_num_list: 13*sqrt(n) -> 4096 here,
-the SWEEP_r03 Pareto winner) / num_probe=128, precursor window fused
+the SWEEP_r03 Pareto winner) / num_probe=256 (the QUALITY_r04 probe
+ladder's 0.97-candidate-recall point), precursor window fused
 into the scan mask, default list storage (override with
 ANN_SOLO_TPU_BENCH_DTYPE=bf16|int8), num_candidates=1024 per query,
 exact shifted-dot rescoring (charge 2 -> 3 shift lanes) of the full
@@ -43,7 +44,7 @@ N_BATCHES = 4
 K_PEAKS = 50
 HASH_LEN = 800
 NUM_LIST = 0  # 0 = the shipped size-aware auto default (-> 4096 here)
-NUM_PROBE = 128
+NUM_PROBE = 256  # shipped default (QUALITY_r04 probe ladder)
 NUM_CANDIDATES = 1024
 CHARGE = 2
 FRAG_TOL = 0.04

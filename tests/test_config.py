@@ -21,7 +21,9 @@ def test_defaults():
     assert config.bin_size == 0.04
     assert config.hash_len == 800
     assert config.num_list == 0  # 0 = size-aware auto (resolve_num_list)
-    assert config.num_probe == 128
+    # Retuned from the reference's 128 (QUALITY_r04 probe ladder: 256
+    # crosses 0.97 candidate recall at the auto num_list).
+    assert config.num_probe == 256
     assert config.num_candidates == 1024
     assert config.batch_size == 16384
     assert config.scaling == "rank"
