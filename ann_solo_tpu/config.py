@@ -138,12 +138,15 @@ def _add_arguments(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument(
         "--index_dtype",
-        default="bf16",
+        default="int8",
         type=str,
         choices=["bf16", "f32", "int8"],
-        help="IVF list storage precision: bf16 (default, the FAISS "
-        "useFloat16 analog), f32, or int8 (SQ8 per-row scales; halves "
-        "memory again for 100M+-vector libraries)",
+        help="IVF list storage precision: int8 (default; SQ8 per-row "
+        "scales -- QUALITY_r04_int8 measured IDs@1%%FDR, accuracy, and "
+        "candidate recall IDENTICAL to bf16 on the 200k corpus at 1/4 "
+        "the scan traffic, and the exact rescoring stage absorbs the "
+        "residual candidate-set differences), bf16 (the FAISS "
+        "useFloat16 analog), or f32",
     )
     # Prosit / Koina (remote prediction of FASTA libraries).
     parser.add_argument("--prosit_batch_size", default=1000, type=int)

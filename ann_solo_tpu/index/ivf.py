@@ -1517,13 +1517,24 @@ class IvfIndex:
 
     @classmethod
     def load_or_build(
-        cls, filename: str, lib, config
+        cls, filename: str, lib, config, store_fp: Optional[str] = None
     ) -> "IvfIndex":
         """Load a persisted index, or vectorize the charge block and build
-        one (reference spectral_library.py:109-116,490)."""
+        one (reference spectral_library.py:109-116,490).
+
+        `store_fp` identifies the store content the index was built
+        from; a persisted index with a different fingerprint rebuilds
+        (same staleness class as store.source_fingerprint -- the index
+        file name only encodes the CONFIG hash)."""
         if os.path.isfile(filename):
             try:
-                return cls.load(filename, int(config.num_probe))
+                index = cls.load(filename, int(config.num_probe))
+                if store_fp is None or index.store_fp in (None, store_fp):
+                    return index
+                logger.warning(
+                    "ANN index %s was built from different store "
+                    "content; rebuilding", os.path.basename(filename),
+                )
             except OSError as e:
                 logger.warning("Failed to load ANN index %s: %s", filename, e)
         logger.warning(
@@ -1562,6 +1573,7 @@ class IvfIndex:
             precursor_mz=np.asarray(lib.precursor_mz, np.float32),
             storage_dtype=dtype_by_name[dtype_name],
         )
+        index.store_fp = store_fp
         index.save(filename)
         return index
 
@@ -1590,6 +1602,8 @@ class IvfIndex:
                     "padded_prev", data=np.asarray(self.padded_prev)
                 )
             f.attrs["redundancy"] = self.redundancy
+            if getattr(self, "store_fp", None) is not None:
+                f.attrs["store_fp"] = self.store_fp
 
     @classmethod
     def load(cls, filename: str, num_probe: int) -> "IvfIndex":
@@ -1600,7 +1614,7 @@ class IvfIndex:
                 )
             else:
                 vectors = f["padded_vectors"][()]
-            return cls(
+            index = cls(
                 f["centroids"][()],
                 vectors,
                 f["padded_ids"][()],
@@ -1612,6 +1626,8 @@ class IvfIndex:
                     f["padded_prev"][()] if "padded_prev" in f else None
                 ),
             )
+            index.store_fp = f.attrs.get("store_fp", None)
+            return index
 
     # ------------------------------------------------------------------ #
 

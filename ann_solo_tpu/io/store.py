@@ -39,6 +39,31 @@ logger = logging.getLogger(__name__)
 _BUILD_BATCH = 4096
 
 
+def source_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a library file: size + md5 of the
+    first 1 MiB and last 64 KiB.
+
+    The reference's .spcfg sidecar (reader.py:147-200) only checks the
+    CONFIG, so a library file rewritten in place (same name, same
+    settings, different spectra) silently reuses a stale store; this
+    bit a full QUALITY debugging cycle in round 4 (a regenerated
+    synthetic corpus with a different --n-peptides reused the old
+    store).  Content changes anywhere move the size or the sampled
+    bytes with overwhelming probability for real library files.
+    """
+    try:
+        size = os.path.getsize(path)
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            h.update(f.read(1 << 20))
+            if size > (1 << 20) + (1 << 16):
+                f.seek(-(1 << 16), os.SEEK_END)
+                h.update(f.read(1 << 16))
+        return f"{size}:{h.hexdigest()}"
+    except OSError:
+        return "null"
+
+
 def hyperparameter_hash(config) -> str:
     """SHA-1 over the settings that determine store/index contents.
 
@@ -93,6 +118,9 @@ class SpectralLibraryStore:
             self.config_hash = f.attrs["config_hash"]
             self.source_filename = f.attrs["source_filename"]
             self._source_version = f.attrs.get("source_version", "null")
+            self.source_fingerprint = f.attrs.get(
+                "source_fingerprint", "null"
+            )
             self.identifiers = f["identifiers"].asstr()[()]
             self.peptides = f["peptides"].asstr()[()]
             self.precursor_mz = f["precursor_mz"][()]
@@ -173,6 +201,7 @@ def build_store(
     source_filename: str,
     params: PreprocessParams,
     add_decoys: bool = False,
+    source_fp: Optional[str] = None,
 ) -> None:
     """Build the columnar store: stream spectra, preprocess on device.
 
@@ -256,6 +285,7 @@ def build_store(
     with h5py.File(filename, "w") as f:
         f.attrs["config_hash"] = config_hash
         f.attrs["source_filename"] = source_filename
+        f.attrs["source_fingerprint"] = source_fp or "null"
         try:
             mtime = os.path.getmtime(source_filename)
             f.attrs["source_version"] = datetime.datetime.fromtimestamp(
@@ -361,17 +391,30 @@ def open_or_build_store(
     )
     config_hash = hyperparameter_hash(config)
     filename = store_filename(library_filename, config_hash)
+    source_fp = source_fingerprint(library_filename)
     if os.path.isfile(filename):
         try:
             store = SpectralLibraryStore(filename)
-            if store.config_hash == config_hash and (
-                store.source_filename == os.path.basename(library_filename)
+            if (
+                store.config_hash == config_hash
+                and store.source_filename
+                == os.path.basename(library_filename)
+                and store.source_fingerprint == source_fp
             ):
                 return store
-            logger.warning(
-                "The spectral library store was created using "
-                "non-compatible settings; rebuilding"
-            )
+            if store.source_fingerprint != source_fp:
+                # The reference's .spcfg check misses this case: a
+                # library rewritten in place silently reuses the old
+                # store (round-4 QUALITY corpus staleness incident).
+                logger.warning(
+                    "The library file content changed since the store "
+                    "was built; rebuilding"
+                )
+            else:
+                logger.warning(
+                    "The spectral library store was created using "
+                    "non-compatible settings; rebuilding"
+                )
         except OSError as e:
             logger.warning("Failed to open library store: %s; rebuilding", e)
     else:
@@ -384,5 +427,6 @@ def open_or_build_store(
         os.path.basename(library_filename),
         params,
         add_decoys=bool(config.add_decoys),
+        source_fp=source_fp,
     )
     return SpectralLibraryStore(filename)

@@ -200,10 +200,12 @@ def main(args=None) -> int:
                         help="0 = the shipped size-aware auto default")
     parser.add_argument("--num_probe", type=int, default=256)
     parser.add_argument("--num_candidates", type=int, default=1024)
-    parser.add_argument("--index_dtype", default="bf16",
+    parser.add_argument("--index_dtype", default="int8",
                         choices=["bf16", "f32", "int8"],
                         help="IVF list storage precision for the ann "
-                        "pass (measures the SQ8 quality impact)")
+                        "pass (int8 = the shipped default; "
+                        "QUALITY_r04_int8 measured it IDs-identical "
+                        "to bf16 on the 200k corpus)")
     parser.add_argument("--skip-bf", action="store_true",
                         help="skip the brute-force pass (and the recall "
                         "curve) for quick smoke runs")
@@ -244,6 +246,40 @@ def main(args=None) -> int:
     query_path = os.path.join(workdir, "queries.mgf")
     write_splib(library, lib_path)
     write_mgf(queries, query_path)
+
+    # --reuse-bf guard: bf.mztab is only comparable to THIS corpus.
+    # Generation is seeded but parameter-dependent (--n-peptides /
+    # --n-queries / --seed), and a mismatch is silent and poisonous:
+    # round 4 lost a debugging cycle to a bf.mztab from an
+    # --n-peptides 100000 corpus being reused against a regenerated
+    # 50000 one (same filenames, same seed -- different query
+    # pairing).  The fingerprint pins (identifier, charge, precursor)
+    # of every library and query spectrum.
+    import hashlib
+
+    corpus_fp = hashlib.md5(
+        b"".join(
+            f"{s.identifier}:{s.precursor_charge}:"
+            f"{s.precursor_mz:.4f}".encode()
+            for s in list(library) + list(queries)
+        )
+    ).hexdigest()
+    fp_path = os.path.join(workdir, "corpus_fp.txt")
+    bf_path = os.path.join(workdir, "bf.mztab")
+    if parsed.reuse_bf and os.path.isfile(bf_path):
+        recorded = None
+        if os.path.isfile(fp_path):
+            with open(fp_path) as f:
+                recorded = f.read().strip()
+        if recorded != corpus_fp:
+            parser.error(
+                f"--reuse-bf: bf.mztab in {workdir} was built from a "
+                f"different corpus (fingerprint {recorded} != "
+                f"{corpus_fp}); re-run without --reuse-bf or match the "
+                "original --n-peptides/--n-queries/--seed"
+            )
+    with open(fp_path, "w") as f:
+        f.write(corpus_fp + "\n")
     t_corpus = time.perf_counter() - t0
     logger.info(
         "Corpus: %d library spectra, %d queries (%.1fs)",
@@ -269,6 +305,7 @@ def main(args=None) -> int:
             "num_list": parsed.num_list,
             "num_probe": parsed.num_probe,
             "num_candidates": parsed.num_candidates,
+            "index_dtype": parsed.index_dtype,
         },
     }
     modes = ["ann"] if parsed.skip_bf else ["bf", "ann"]

@@ -227,7 +227,12 @@ class SpectralLibrary:
                 self._filename, config_hash, charge, index_dtype,
                 redundancy,
             )
-            index = IvfIndex.load_or_build(filename, lib, config)
+            # Tie the persisted index to the store CONTENT it was built
+            # from (the file name only encodes the config hash).
+            store_fp = getattr(self._store, "source_fingerprint", None)
+            index = IvfIndex.load_or_build(
+                filename, lib, config, store_fp=store_fp
+            )
             if self._mesh is not None:
                 if index.num_list % self._mesh.shape["lib"] == 0:
                     from ann_solo_tpu.parallel.sharded_ivf import (

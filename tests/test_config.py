@@ -24,6 +24,9 @@ def test_defaults():
     # Retuned from the reference's 128 (QUALITY_r04 probe ladder: 256
     # crosses 0.97 candidate recall at the auto num_list).
     assert config.num_probe == 256
+    # int8 shipped after QUALITY_r04_int8 measured IDs/accuracy/recall
+    # identical to bf16 at 1/4 the scan traffic.
+    assert config.index_dtype == "int8"
     assert config.num_candidates == 1024
     assert config.batch_size == 16384
     assert config.scaling == "rank"
