@@ -19,6 +19,7 @@ TPU-native redesign of the cascade search runtime:
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -122,6 +123,23 @@ def precursor_window_bounds(
     else:
         raise ValueError("Unknown precursor tolerance mode")
     return lo.astype(np.int64), hi.astype(np.int64)
+
+
+def _window_cand_matrix(starts_d, hi_d, width: int):
+    """Device-built contiguous candidate rows: starts[:, None] + iota.
+
+    Jitted with a static `width` so each canonical window shape compiles
+    once; entries at or past each row's `hi` bound are -1 (invalid).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(2,))
+    def build(starts, hi, w):
+        cand = starts[:, None] + jnp.arange(w, dtype=jnp.int32)[None]
+        return jnp.where(cand < hi[:, None], cand, -1)
+
+    return build(starts_d, hi_d, width)
 
 
 class SpectralLibrary:
@@ -661,6 +679,8 @@ class SpectralLibrary:
         wide_lo = lo[wide_q] + offs
 
         def run(sub_q, sub_lo, width):
+            import jax.numpy as jnp
+
             # Row count buckets to the work size (power of two, <=
             # _WIN_ROWS): small files/tests don't pad 60 rows up to 1024
             # (wasted compute AND a needless big compile), while big
@@ -679,16 +699,21 @@ class SpectralLibrary:
                     starts = np.concatenate(
                         [starts, np.full(pad, sub_lo[s])]
                     )
-                cand = starts[:, None] + np.arange(
-                    width, dtype=np.int64
-                )[None]
-                cand = np.where(cand < hi[rows][:, None], cand, -1)
+                # The (g, width) candidate matrix is built ON DEVICE
+                # from the (g,) starts/bounds: uploading it from the
+                # host cost ~4 bytes/pair over the tunnel and capped the
+                # whole bf window leg at 1.3M pairs/s (the rescore
+                # machinery itself runs at ~8.5M pairs/s at this shape,
+                # tools/bf_profile.py round 4).
+                starts_d = self._dp_put(starts.astype(np.int32), 0)
+                hi_d = self._dp_put(hi[rows].astype(np.int32), 0)
+                cand = _window_cand_matrix(starts_d, hi_d, width)
                 idx_g, score_g, _ = rescore_candidate_matrix(
                     self._dp_put(q_mz[rows], 1),
                     self._dp_put(q_int[rows], 1),
                     self._dp_put(q_prec[rows].astype(np.float32), 0),
                     lib_mz_d, lib_int_d, lib_ann_d, lib_prec_d,
-                    self._dp_put(cand.astype(np.int32), 1),
+                    cand,
                     frag_tol, num_shifts, allow_shift, use_pallas,
                 )
                 # Earliest-sub-row max: sub-rows arrive in range order,
@@ -716,6 +741,7 @@ class SpectralLibrary:
         from ann_solo_tpu.ops.shifted_dot_pallas import (
             PAIR_BLOCK,
             shifted_dot_best_match_auto,
+            use_pallas_default,
         )
 
         matches_by_row: Dict[int, np.ndarray] = {}
@@ -727,8 +753,23 @@ class SpectralLibrary:
             r = rows[start : start + chunk]
             c = cand_idx[start : start + chunk]
             n = len(r)
-            if n % PAIR_BLOCK:  # pad to the kernel pair block
-                pad = PAIR_BLOCK - n % PAIR_BLOCK
+            # Arbitrary PAIR_BLOCK multiples compile a fresh Pallas
+            # kernel per distinct batch size -- profiled at ~6 s PER
+            # SIZE on the tunneled backend, which made this cheap stage
+            # 34% of a brute-force cascade (tools/bf_profile.py).  On
+            # the Pallas path pad to the one fixed `chunk` size (one
+            # compile per process; scoring <= 4096 padded pairs costs
+            # ~1 ms at the kernel's ~4M pairs/s).  The XLA fallback's
+            # cost scales with the padded size, so it buckets to a
+            # power of two instead.
+            if use_pallas_default():
+                g = chunk
+            else:
+                g = PAIR_BLOCK
+                while g < n:
+                    g *= 2
+            if n < g:
+                pad = g - n
                 r = np.concatenate([r, np.full(pad, r[0])])
                 c = np.concatenate([c, np.full(pad, c[0])])
             charges = np.full(len(r), charge, np.int32)
