@@ -1529,11 +1529,20 @@ class IvfIndex:
         if os.path.isfile(filename):
             try:
                 index = cls.load(filename, int(config.num_probe))
-                if store_fp is None or index.store_fp in (None, store_fp):
+                if store_fp is None or index.store_fp == store_fp:
                     return index
+                # STRICT: a legacy index without a fingerprint also
+                # rebuilds when the caller has one.  A lenient accept
+                # was tried first and immediately produced a corrupted
+                # QUALITY run: the store was rebuilt with different
+                # decoy interleaving, every per-charge row position
+                # shifted, and the stale index's candidate ids silently
+                # pointed at the wrong spectra (ann leg: 59% foreign
+                # leak at 1% FDR).
                 logger.warning(
                     "ANN index %s was built from different store "
-                    "content; rebuilding", os.path.basename(filename),
+                    "content (%s != %s); rebuilding",
+                    os.path.basename(filename), index.store_fp, store_fp,
                 )
             except OSError as e:
                 logger.warning("Failed to load ANN index %s: %s", filename, e)

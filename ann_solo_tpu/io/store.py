@@ -209,6 +209,15 @@ def build_store(
     (reader.py:147-200,489-521), with decoy generation optionally
     interleaved (config --add_decoys).
     """
+    # Decoy shuffling consumes the GLOBAL numpy RNG (the reference's
+    # decoy_generator does the same and relies on the CLI's rndm
+    # seeding).  A store must hold the same decoys no matter which
+    # entry point built it -- an unseeded tool process once rebuilt
+    # this store with different decoy interleaving, which shifted
+    # every per-charge row position -- so the stream is pinned here,
+    # derived from the config hash.
+    if add_decoys:
+        np.random.seed(int(config_hash[:8], 16) & 0x7FFFFFFF)
     identifiers: List[str] = []
     peptides: List[str] = []
     precursor_mz: List[float] = []

@@ -117,10 +117,18 @@ def test_ivf_rebuilds_on_store_fp_change(tmp_path):
     idx4 = IvfIndex.load(path, 2)
     assert idx4.store_fp == "fp_B"
 
-    # Legacy file without a fingerprint: accepted (lenient).
+    # Legacy file without a fingerprint: REBUILDS when the caller has
+    # one (a lenient accept once let a stale index silently map
+    # candidate ids onto a rebuilt store's shifted row positions).
     import h5py
 
     with h5py.File(path, "a") as f:
         del f.attrs["store_fp"]
     idx5 = IvfIndex.load_or_build(path, Lib(), Cfg(), store_fp="fp_C")
-    assert idx5.store_fp is None  # loaded, not rebuilt
+    assert idx5.store_fp == "fp_C"
+
+    # No expected fingerprint (legacy caller): accepted as-is.
+    with h5py.File(path, "a") as f:
+        del f.attrs["store_fp"]
+    idx6 = IvfIndex.load_or_build(path, Lib(), Cfg())
+    assert idx6.store_fp is None
