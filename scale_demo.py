@@ -55,14 +55,24 @@ def sharded_main(args) -> int:
         _n_list_shards,
     )
 
-    devices = jax.devices()
+    # The virtual-mesh demo runs on the CPU devices
+    # (xla_force_host_platform_device_count) even when a TPU plugin is
+    # registered: the axon plugin force-selects the TPU backend
+    # regardless of JAX_PLATFORMS, and a 1-chip device list would
+    # degenerate the slice math below.
+    try:
+        devices = jax.devices("cpu")
+    except RuntimeError:
+        devices = jax.devices()
     log(f"devices: {len(devices)} x {devices[0].platform}")
     if args.multislice:
         # ('dcn', 'dp', 'lib'): two virtual slices joined over DCN --
         # the 100M two-v5e-8-slice regime's build/search placement.
-        mesh = make_multislice_mesh(2, len(devices) // 2)
+        mesh = make_multislice_mesh(
+            2, len(devices) // 2, devices=devices
+        )
     else:
-        mesh = make_mesh(len(devices))
+        mesh = make_mesh(len(devices), devices=devices)
     lib_shards = _n_list_shards(mesh)
     n = args.n
     rng = np.random.default_rng(7)
