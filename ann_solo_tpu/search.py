@@ -46,6 +46,10 @@ from ann_solo_tpu.utils.profiling import device_trace, profiler
 
 logger = logging.getLogger(__name__)
 
+# Queries per ANN vectorize+select device program (see _ann_candidates:
+# one compiled shape per process, whatever batch sizes files produce).
+_SELECT_CHUNK = 4096
+
 
 class _ChargeLibrary:
     """Per-charge library arrays sorted by precursor m/z (device-ready)."""
@@ -271,6 +275,154 @@ class SpectralLibrary:
         self._ann_indexes.clear()
 
     # ------------------------------------------------------------------ #
+    # Pipeline warm-up
+
+    def _start_pipeline_warmup(self) -> None:
+        """Compile the hot device programs while query I/O runs.
+
+        Same overlap as bench.py's build-time precompile: XLA
+        compilation is host/RPC work, so background threads tracing the
+        canonical pipeline shapes on zero inputs run concurrently with
+        query reading + preprocessing (~tens of seconds for large
+        files), and the cascade's first batches find their programs
+        already compiled.  Every shape warmed here is one the engine's
+        fixed-shape ladders actually use: the `_SELECT_CHUNK` ANN
+        vectorize+select programs, the (1024, num_candidates) ANN
+        rescore, the two canonical window-rescore widths, and the
+        fixed-size best-pair kernel -- per distinct precursor charge
+        (`num_shifts` is a static argument).
+
+        Gated to non-CPU backends (a virtual-CPU test mesh would pay
+        real compute for the padded warm shapes) and disabled by
+        ANN_SOLO_TPU_NO_WARM=1.  Failures only log: a warm miss means
+        the first real batch compiles lazily, exactly as before.
+        """
+        import os
+        import threading
+
+        if getattr(self, "_warmup_started", False):
+            return
+        self._warmup_started = True
+        if os.environ.get("ANN_SOLO_TPU_NO_WARM"):
+            return
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:
+            return
+        import jax.numpy as jnp
+
+        from ann_solo_tpu.models.vectorize import (
+            VectorizeParams,
+            vectorize_batch,
+        )
+        from ann_solo_tpu.ops.rescore import rescore_candidate_matrix
+        from ann_solo_tpu.ops.shifted_dot_pallas import use_pallas_default
+
+        if self._mesh is not None:
+            return  # sharded meshes have their own placement ladders
+        vparams = VectorizeParams.from_config(config)
+        tables = vparams.device_tables()
+        k_peaks = self._query_params.max_peaks_used
+        allow_shift = bool(config.allow_peak_shifts)
+        frag_tol = float(config.fragment_mz_tolerance)
+        use_pallas = use_pallas_default()
+        do_open = (
+            config.precursor_tolerance_mass_open is not None
+            and config.precursor_tolerance_mode_open is not None
+        )
+
+        # Gather everything on THIS thread (worker threads only run
+        # jitted calls -- no shared-dict mutation off-thread).
+        charge_libs = []
+        for charge in self._store.charges():
+            lib = self._get_charge_lib(charge)
+            if lib is None or lib.n_spectra == 0:
+                continue
+            charge_libs.append(
+                (charge, self._lib_device(lib), lib.n_spectra)
+            )
+        select_targets = []
+        if do_open:
+            seen_shapes = set()
+            for charge, index in self._ann_indexes.items():
+                if not hasattr(index, "search_device"):
+                    continue
+                shape = tuple(np.shape(index.padded_vectors)) + (
+                    str(np.asarray(index.padded_ids).dtype),
+                )
+                if shape in seen_shapes:
+                    continue
+                seen_shapes.add(shape)
+                select_targets.append((charge, index))
+
+        def run(task):
+            try:
+                task()
+            except Exception as e:  # lazy compile covers any miss
+                logger.debug("pipeline warmup task failed: %s", e)
+
+        def t_select():
+            z_mz = np.zeros((_SELECT_CHUNK, k_peaks), np.float32)
+            z_int = np.zeros((_SELECT_CHUNK, k_peaks), np.float32)
+            z_n = np.zeros(_SELECT_CHUNK, np.int32)
+            vec = vectorize_batch(vparams, tables, z_mz, z_int, z_n)
+            for charge, index in select_targets:
+                index.search_device(
+                    vec, self._num_candidates,
+                    q_prec=np.zeros(_SELECT_CHUNK, np.float32),
+                    charge=float(charge),
+                    tol_val=float(config.precursor_tolerance_mass_open),
+                    tol_mode=str(config.precursor_tolerance_mode_open),
+                )
+
+        def rescore_task(charge, lib_dev, c_width):
+            num_shifts = charge + 1 if allow_shift else 1
+            lm, li, la, lp = lib_dev
+
+            def task():
+                rescore_candidate_matrix(
+                    jnp.zeros((1024, k_peaks), jnp.float32),
+                    jnp.zeros((1024, k_peaks), jnp.float32),
+                    jnp.zeros((1024,), jnp.float32),
+                    lm, li, la, lp,
+                    jnp.zeros((1024, c_width), jnp.int32),
+                    frag_tol, num_shifts, allow_shift, use_pallas,
+                )
+
+            return task
+
+        tasks_by_thread = [[t_select]] if select_targets else [[]]
+        ann_tasks, win_tasks = [], []
+        for charge, lib_dev, n_spectra in charge_libs:
+            if do_open:
+                ann_tasks.append(
+                    rescore_task(charge, lib_dev, self._num_candidates)
+                )
+            win_tasks.append(
+                rescore_task(charge, lib_dev, self._WIN_NARROW)
+            )
+            if n_spectra > self._WIN_NARROW:
+                # The wide leg always uses sub-rows of exactly
+                # _WIN_WIDE, however narrow the actual windows are.
+                win_tasks.append(
+                    rescore_task(charge, lib_dev, self._WIN_WIDE)
+                )
+        tasks_by_thread.append(ann_tasks)
+        tasks_by_thread.append(win_tasks)
+        for tasks in tasks_by_thread:
+            if not tasks:
+                continue
+
+            def runner(ts=tasks):
+                for t in ts:
+                    run(t)
+
+            threading.Thread(target=runner, daemon=True).start()
+
+    # ------------------------------------------------------------------ #
     # Search
 
     def search(self, query_filename: str) -> List[SpectrumSpectrumMatch]:
@@ -278,6 +430,7 @@ class SpectralLibrary:
         (reference spectral_library.py:193-260)."""
         logger.info("Process file %s", query_filename)
         profiler.reset()
+        self._start_pipeline_warmup()
         with profiler.stage("query I/O + preprocessing"):
             query_spectra = self._read_and_process_queries(query_filename)
 
@@ -552,11 +705,59 @@ class SpectralLibrary:
                 shard(n_peaks, P("dp")),
             )[:b]
         else:
-            # Vectors stay device-resident: the index consumes them
-            # directly (host round trips cost ~10-20 ms/MB + latency).
-            vectors = vectorize_batch(
-                vparams, tables, q_mz, q_int, n_peaks
+            index = self._ann_indexes[charge]
+            q_prec_all = np.asarray(
+                [s.precursor_mz for s in batch], np.float32
             )
+            if b > _SELECT_CHUNK and hasattr(index, "search_device"):
+                # Fixed-size select chunks: vectorize + select compile
+                # ONE (_SELECT_CHUNK,)-shaped program per process,
+                # however many distinct batch sizes the query files and
+                # cascade levels produce (a 10k-query cascade used to
+                # compile a fresh full-library-scan program for the std
+                # pass, ANOTHER for the open pass's survivor batch, and
+                # more per extra file -- each ~13 s on this backend).
+                # The tail chunk pads with zero queries; compute waste
+                # is bounded by one chunk and matches what the old
+                # power-of-two tile padding spent anyway.
+                import jax.numpy as jnp
+
+                b_pad = -(-b // _SELECT_CHUNK) * _SELECT_CHUNK
+                pad = b_pad - b
+
+                def padded(x):
+                    return np.pad(
+                        x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                    )
+
+                qm, qi = padded(q_mz), padded(q_int)
+                npk, qp = padded(n_peaks), padded(q_prec_all)
+                out_chunks = []
+                for s_ in range(0, b_pad, _SELECT_CHUNK):
+                    sl = slice(s_, s_ + _SELECT_CHUNK)
+                    vec = vectorize_batch(
+                        vparams, tables, qm[sl], qi[sl], npk[sl]
+                    )
+                    ids, _ = index.search_device(
+                        vec, self._num_candidates,
+                        q_prec=qp[sl], charge=float(charge),
+                        tol_val=float(tol_val), tol_mode=tol_mode,
+                    )
+                    out_chunks.append(ids)
+                return jnp.concatenate(out_chunks)[:b]
+            # Small batches pad to a power-of-two bucket so the
+            # vectorize program ladder stays bounded too (zero-peak
+            # pad queries vectorize to zero rows and are sliced off).
+            b_pow2 = 64
+            while b_pow2 < b:
+                b_pow2 *= 2
+            pad = b_pow2 - b
+            vectors = vectorize_batch(
+                vparams, tables,
+                np.pad(q_mz, ((0, pad), (0, 0))),
+                np.pad(q_int, ((0, pad), (0, 0))),
+                np.pad(n_peaks, (0, pad)),
+            )[:b]
         index = self._ann_indexes[charge]
         q_prec = np.asarray([s.precursor_mz for s in batch], np.float32)
         if hasattr(index, "search_device"):

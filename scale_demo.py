@@ -111,6 +111,27 @@ def sharded_main(args) -> int:
         f"single-core CPU mesh), {l} lists cap {cap}, per-shard block "
         f"{shard_bytes / 1e6:.0f} MB vs global {global_bytes / 1e6:.0f} MB"
     )
+    result = {
+        "metric": f"{n / 1e6:.1f}M-vector BORN-SHARDED int8 IVF build "
+        f"over a {lib_shards}-shard "
+        + ("('dcn', 'dp', 'lib')" if args.multislice else "'lib'")
+        + " mesh (virtual CPU devices)",
+        "multislice": bool(args.multislice),
+        "n_vectors": n,
+        "dims": D,
+        "num_list": args.num_list,
+        "lib_shards": lib_shards,
+        "redundancy": 2,
+        "build_sec": round(t_build, 1),
+        "build_rows_per_sec": round(n / t_build, 0),
+        "per_shard_block_bytes": int(shard_bytes),
+        "global_block_bytes": int(global_bytes),
+    }
+    # Checkpoint before the (slow, host-bound) search sanity check: a
+    # 40-minute virtual-mesh build must not be lost to a run timeout in
+    # the final phase.
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
 
     b = args.n_queries
     query_rows = rng.choice(n, b, replace=False)
@@ -132,28 +153,14 @@ def sharded_main(args) -> int:
         f"sharded search ({b} queries): {t_search:.1f}s, "
         f"source-in-candidates {hit:.3f}"
     )
-    result = {
-        "metric": f"{n / 1e6:.1f}M-vector BORN-SHARDED int8 IVF build "
-        f"over a {lib_shards}-shard "
-        + ("('dcn', 'dp', 'lib')" if args.multislice else "'lib'")
-        + " mesh (virtual CPU devices)",
-        "multislice": bool(args.multislice),
-        "n_vectors": n,
-        "dims": D,
-        "num_list": args.num_list,
-        "lib_shards": lib_shards,
-        "redundancy": 2,
-        "build_sec": round(t_build, 1),
-        "build_rows_per_sec": round(n / t_build, 0),
-        "per_shard_block_bytes": int(shard_bytes),
-        "global_block_bytes": int(global_bytes),
-        "source_in_top_candidates": round(hit, 4),
-        "note": "per-device memory bounded by ONE shard block "
+    result["source_in_top_candidates"] = round(hit, 4)
+    result["note"] = (
+        "per-device memory bounded by ONE shard block "
         "(asserted from the placed buffers); equality with the "
         "single-device build is pinned in tests/test_sharded_build.py; "
         "on real v5e-8 hardware the same code paths place blocks over "
-        "ICI and the scan/merge rides psum/all-gather collectives",
-    }
+        "ICI and the scan/merge rides psum/all-gather collectives"
+    )
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
