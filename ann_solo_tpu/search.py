@@ -308,7 +308,15 @@ class SpectralLibrary:
         try:
             import jax
 
-            if jax.default_backend() == "cpu":
+            # The default DEVICE decides where the warm programs run:
+            # the axon plugin makes default_backend() report "tpu" even
+            # in CPU-pinned test environments (conftest sets
+            # jax_default_device to a virtual CPU device), and the warm
+            # shapes are far too large for a single-core CPU.
+            dev = jax.config.jax_default_device
+            if dev is None:
+                dev = jax.devices()[0]
+            if getattr(dev, "platform", "cpu") != "tpu":
                 return
         except Exception:
             return
