@@ -38,7 +38,7 @@ def main(workdir: str) -> int:
         open_tolerance = 300.0
         model = "none"
         num_list = 0
-        num_probe = 128
+        num_probe = 256
         num_candidates = 1024
         index_dtype = "bf16"
         fdr = 0.01
