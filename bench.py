@@ -45,7 +45,9 @@ N_BATCHES = 4
 K_PEAKS = 50
 HASH_LEN = 800
 NUM_LIST = 0  # 0 = the shipped size-aware auto default (-> 4096 here)
-NUM_PROBE = 256  # shipped default (QUALITY_r04 probe ladder)
+NUM_PROBE = int(
+    os.environ.get("ANN_SOLO_TPU_BENCH_PROBE", "256")
+)  # shipped default (QUALITY_r04 probe ladder)
 NUM_CANDIDATES = 1024
 CHARGE = 2
 FRAG_TOL = 0.04
