@@ -137,6 +137,19 @@ def _add_arguments(parser: argparse.ArgumentParser) -> None:
         "R=1 matches FAISS single-assignment memory",
     )
     parser.add_argument(
+        "--soar_lambda",
+        default=1.0,
+        type=float,
+        help="SOAR residual-decorrelation weight for the redundant "
+        "copy's list assignment (Sun et al., NeurIPS 2023): the second "
+        "copy goes to the candidate list maximizing v.c - l/2*((v-c)."
+        "r1)^2 instead of the coarse rank-2 list, so queries displaced "
+        "along the primary residual -- exactly the ones that miss the "
+        "primary list -- find the copy. 0 restores rank-2 assignment. "
+        "Measured (round 4, 200k corpus): probed-list recall@256 "
+        "0.9780 -> 0.9828 at identical storage and scan cost",
+    )
+    parser.add_argument(
         "--index_dtype",
         default="int8",
         type=str,

@@ -84,15 +84,18 @@ def _next_pow2(n: int) -> int:
 def ivf_index_filename(
     library_filename: str, config_hash: str, charge: int,
     index_dtype: str = "bf16", redundancy: int = 2,
+    soar_lambda: float = 0.0,
 ) -> str:
     """Per-charge index path (reference's .idxann naming,
     spectral_library.py:98-116).  Index-only settings (storage dtype,
-    redundant assignment) key the filename rather than the shared store
-    hash, so switching them rebuilds just the index."""
+    redundant assignment, SOAR weight) key the filename rather than the
+    shared store hash, so switching them rebuilds just the index."""
     base = os.path.splitext(library_filename)[0]
     suffix = "" if index_dtype == "bf16" else f"_{index_dtype}"
     if redundancy != 1:
         suffix += f"_x{redundancy}"
+    if soar_lambda > 0.0 and redundancy > 1:
+        suffix += f"_soar{soar_lambda:g}"
     return f"{base}_{config_hash[:7]}_{charge}{suffix}.ivf.h5"
 
 
@@ -224,18 +227,24 @@ def _pack_prec(prec, ids_flat, num_list: int, cap: int):
     )
 
 
-def plan_assignments(choices, num_list: int, cap: int, r_eff: int):
+def plan_assignments(
+    choices, num_list: int, cap: int, r_eff: int, round_choices=None
+):
     """Balanced (optionally redundant) list placement for every vector.
 
     Runs `r_eff` rounds of the sort-based balanced fill, masking each
     round's chosen list out of the ranking so later copies land in
-    distinct lists.  Primary copies that overflow every ranked choice
-    fall back to any free slot (host pass, rare); secondary copies are
-    best-effort.  Returns (flat_slot (R*N,), row_ids (R*N,), spilled,
-    round_lists) where round_lists[r] is the (N,) list id each vector's
-    rank-r copy landed in (-1 = no copy) -- shared verbatim by the
-    single-device and sharded builds so both produce identical
-    placements from identical centroids.
+    distinct lists.  `round_choices` optionally overrides the candidate
+    ranking per later round (round r >= 1 uses round_choices[r - 1] if
+    given) -- the SOAR secondary-copy objective plugs in here; prior
+    rounds' placements are masked out of the override the same way.
+    Primary copies that overflow every ranked choice fall back to any
+    free slot (host pass, rare); secondary copies are best-effort.
+    Returns (flat_slot (R*N,), row_ids (R*N,), spilled, round_lists)
+    where round_lists[r] is the (N,) list id each vector's rank-r copy
+    landed in (-1 = no copy) -- shared verbatim by the single-device
+    and sharded builds so both produce identical placements from
+    identical centroids.
     """
     n = choices.shape[0]
     primary = np.asarray(choices[:, 0])
@@ -244,6 +253,21 @@ def plan_assignments(choices, num_list: int, cap: int, r_eff: int):
     round_lists = []
     spilled = 0
     for r in range(r_eff):
+        if (
+            r >= 1
+            and round_choices is not None
+            and round_choices[r - 1] is not None
+        ):
+            override = jnp.asarray(round_choices[r - 1])
+            # Mask every prior round's placement out of the override
+            # (the same by-value rule as the default path below).
+            for placed in round_lists:
+                override = jnp.where(
+                    override == jnp.asarray(placed)[:, None],
+                    num_list,
+                    override,
+                )
+            choices = override
         placed_list, placed_pos, used = _fill_lists(
             jnp.asarray(choices), used, num_list, cap
         )
@@ -357,12 +381,51 @@ def resolve_num_list(num_list: int, n: int) -> int:
     return int(min(1 << exp, 65536))
 
 
-def ivf_build_params(n: int, num_list: int, redundancy: int):
-    """(r_eff, cap, n_choices) shared by every build path."""
+def ivf_build_params(
+    n: int, num_list: int, redundancy: int, soar_lambda: float = 0.0
+):
+    """(r_eff, cap, n_choices) shared by every build path.
+
+    SOAR assignment needs a wider candidate pool: the secondary copy is
+    picked by residual decorrelation among the top-A centroids, and the
+    round-4 measurement used A=16 (recall gains shrink with a 4-wide
+    pool).  Capacity and storage are unchanged.
+    """
     r_eff = max(1, min(redundancy, num_list))
     cap = max(8, int(-(-_FILL_SLACK * r_eff * n / num_list // 8) * 8))
     n_choices = min(max(_N_CHOICES, r_eff + 2), num_list)
+    if soar_lambda > 0.0 and r_eff >= 2:
+        n_choices = min(max(n_choices, 16), num_list)
     return r_eff, cap, n_choices
+
+
+def resolve_soar_lambda(config) -> float:
+    """SOAR residual-decorrelation weight for the secondary copy
+    (``--soar_lambda``; 0 disables, restoring plain rank-2 assignment)."""
+    try:
+        return float(config.soar_lambda)
+    except (KeyError, AttributeError, TypeError, ValueError):
+        return 1.0
+
+
+def soar_round_choices(vectors, centroids, choices, r_eff, soar_lambda):
+    """Per-round candidate overrides for `plan_assignments` (or None).
+
+    With SOAR on and x2 redundancy, round 2's candidates are re-ranked
+    by the residual-decorrelation objective
+    (`ops.kmeans.soar_round2_choices`).  Redundancy beyond 2 keeps the
+    plain rank ordering for rounds 3+ (the SOAR objective is defined
+    against the primary residual; measured gains came from the second
+    copy).
+    """
+    if soar_lambda <= 0.0 or r_eff < 2:
+        return None
+    from ann_solo_tpu.ops.kmeans import soar_round2_choices
+
+    second = soar_round2_choices(
+        vectors, centroids, choices, float(soar_lambda)
+    )
+    return [second] + [None] * (r_eff - 2) if r_eff > 2 else [second]
 
 
 # --------------------------------------------------------------------- #
@@ -1471,11 +1534,14 @@ class IvfIndex:
                 redundancy = int(config.ivf_redundancy)
             except (KeyError, AttributeError):
                 redundancy = 2
+        soar_lambda = resolve_soar_lambda(config)
         # f32 or bf16 source (bf16 halves HBM during multi-million-row
         # builds; all matmuls accumulate f32 either way).
         vectors_d = jnp.asarray(vectors)
         n, d = vectors_d.shape
-        r_eff, cap, n_choices = ivf_build_params(n, num_list, redundancy)
+        r_eff, cap, n_choices = ivf_build_params(
+            n, num_list, redundancy, soar_lambda
+        )
         logger.info(
             "Train IVF index: %d vectors, %d lists (cap %d, x%d)",
             n, num_list, cap, r_eff,
@@ -1486,8 +1552,11 @@ class IvfIndex:
                 max_points_per_centroid=_TRAIN_POINTS_PER_CENTROID,
             )
         choices = assign_topk_blocked(vectors_d, centroids, n_choices)
+        round_choices = soar_round_choices(
+            vectors_d, centroids, choices, r_eff, soar_lambda
+        )
         flat_slot, row_ids, spilled, round_lists = plan_assignments(
-            choices, num_list, cap, r_eff
+            choices, num_list, cap, r_eff, round_choices=round_choices
         )
         padded_prev = pack_prev_lists(
             flat_slot, round_lists, num_list, cap

@@ -365,6 +365,7 @@ class ShardedIvfIndex:
             ivf_build_params,
             pack_prev_lists,
             plan_assignments,
+            resolve_soar_lambda,
         )
         from ann_solo_tpu.ops.kmeans import assign_topk_blocked
 
@@ -392,7 +393,10 @@ class ShardedIvfIndex:
             )
         vectors = np.asarray(vectors)
         n, d = vectors.shape
-        r_eff, cap, n_choices = ivf_build_params(n, num_list, redundancy)
+        soar_lambda = resolve_soar_lambda(config)
+        r_eff, cap, n_choices = ivf_build_params(
+            n, num_list, redundancy, soar_lambda
+        )
         if centroids is None:
             centroids = cls._train_centroids_sharded(
                 mesh, vectors, num_list, seed, n_iter
@@ -400,7 +404,10 @@ class ShardedIvfIndex:
         centroids = np.asarray(centroids, np.float32)
 
         # Assignment in fixed row blocks (bounded device memory; only
-        # the (N, A) int32 choices accumulate on the host).
+        # the (N, A) int32 choices accumulate on the host).  The SOAR
+        # round-2 re-rank runs in the same blocks -- identical inputs
+        # and math as the single-device build, so placement stays
+        # byte-identical (tests/test_sharded_build.py).
         centroids_d = jnp.asarray(centroids)
         block = 1 << 16
         choices = np.concatenate([
@@ -410,8 +417,22 @@ class ShardedIvfIndex:
             ))
             for start in range(0, n, block)
         ])
+        round_choices = None
+        if soar_lambda > 0.0 and r_eff >= 2:
+            from ann_solo_tpu.ops.kmeans import soar_round2_choices
+
+            second = np.concatenate([
+                np.asarray(soar_round2_choices(
+                    jnp.asarray(vectors[start : start + block]),
+                    centroids_d,
+                    jnp.asarray(choices[start : start + block]),
+                    soar_lambda,
+                ))
+                for start in range(0, n, block)
+            ])
+            round_choices = [second] + [None] * max(0, r_eff - 2)
         flat_slot, row_ids, spilled, round_lists = plan_assignments(
-            choices, num_list, cap, r_eff
+            choices, num_list, cap, r_eff, round_choices=round_choices
         )
         prev_global = pack_prev_lists(
             flat_slot, round_lists, num_list, cap

@@ -245,9 +245,11 @@ class SpectralLibrary:
                 redundancy = int(config.ivf_redundancy)
             except (KeyError, AttributeError):
                 redundancy = 2
+            from ann_solo_tpu.index.ivf import resolve_soar_lambda
+
             filename = ivf_index_filename(
                 self._filename, config_hash, charge, index_dtype,
-                redundancy,
+                redundancy, resolve_soar_lambda(config),
             )
             # Tie the persisted index to the store CONTENT it was built
             # from (the file name only encodes the config hash).
