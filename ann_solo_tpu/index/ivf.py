@@ -63,7 +63,9 @@ _TILE_Q = 128  # queries per search tile
 _LIST_CHUNK = 16  # lists scanned per inner step
 # Full-scan regime limit: the (T, L, cap) f32 score transient must fit
 # comfortably in HBM.  Beyond it the chunked scan takes over.
-_FULLSCAN_TRANSIENT = 1 << 28  # 256 MB
+_FULLSCAN_TRANSIENT = 1 << 29  # 512 MB (per-tile (T, L, cap) f32 score
+# transient; tiny next to 16 GB HBM -- the old 256 MB bound pushed
+# x3-redundant bench-scale indexes onto the big-library chunked path)
 # Chunked-scan knobs: queries per super-tile (the library streams from
 # HBM once per super-tile) and the per-chunk f32 transient target.
 _CHUNK_TQ = 1024

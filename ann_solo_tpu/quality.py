@@ -56,6 +56,8 @@ def _cli_args(lib, queries, out, mode, parsed):
         "--num_probe", str(parsed.num_probe),
         "--num_candidates", str(parsed.num_candidates),
         "--index_dtype", str(parsed.index_dtype),
+        "--ivf_redundancy", str(getattr(parsed, "ivf_redundancy", 2)),
+        "--soar_lambda", str(getattr(parsed, "soar_lambda", 1.0)),
         "--fdr", str(parsed.fdr),
         "--add_decoys",
     ]
@@ -206,6 +208,11 @@ def main(args=None) -> int:
                         "pass (int8 = the shipped default; "
                         "QUALITY_r04_int8 measured it IDs-identical "
                         "to bf16 on the 200k corpus)")
+    parser.add_argument("--ivf_redundancy", type=int, default=2,
+                        help="stored copies per vector (the shipped "
+                        "x2; higher trades index memory and scan cap "
+                        "for coarse-probe recall)")
+    parser.add_argument("--soar_lambda", type=float, default=1.0)
     parser.add_argument("--skip-bf", action="store_true",
                         help="skip the brute-force pass (and the recall "
                         "curve) for quick smoke runs")

@@ -125,6 +125,9 @@ def main():
     class BenchConfig:
         num_list = NUM_LIST
         num_probe = NUM_PROBE
+        ivf_redundancy = int(
+            os.environ.get("ANN_SOLO_TPU_BENCH_REDUNDANCY", "2")
+        )
 
         def __getitem__(self, key):
             return getattr(self, key)
