@@ -32,8 +32,8 @@ From-scratch replacement for the FAISS IndexIVFFlat dependency
     and correctness oracle.
 * **Redundant assignment** (ScaNN/SOAR-style, ``ivf_redundancy``): each
   vector is stored in its R nearest lists; searches keep only the
-  minimum-rank probed copy of each id via the build-time
-  ``padded_prev`` table (`pack_prev_lists`) -- no post-top-k sort dedup.
+  first-selected copy of each id via a rank-order sort dedup on the
+  canonical selection -- no probe-bitmap membership gathers.
 * **Persistence**: one .h5 file per charge, named with the hyperparameter
   hash like the reference's .idxann files (spectral_library.py:98-116).
 
@@ -330,37 +330,6 @@ def plan_assignments(
     return flat_slot, row_ids, spilled, round_lists
 
 
-def pack_prev_lists(
-    flat_slot: np.ndarray,  # (R*N,) destination slots per copy
-    round_lists,  # list of R (N,) arrays: list id of each rank's copy
-    num_list: int,
-    cap: int,
-) -> Optional[np.ndarray]:
-    """Per-slot table of LOWER-rank copy locations ((L, cap, R-1) int32).
-
-    With redundant assignment a scan can surface the same id once per
-    stored copy.  Instead of a post-top-k sort-based dedup, searches keep
-    an entry only when it is the *minimum-rank copy whose list the query
-    probes*: entry of rank r is masked iff any of its lower-rank copies'
-    lists (this table) is in the query's probe set.  Exactly one copy of
-    each probed id survives, so a plain top-k needs no id dedup.  The
-    table shards with the lists (unlike an id-indexed (N, R) map, which
-    would have to replicate across shards).  -1 = no lower-rank copy.
-    """
-    r_eff = len(round_lists)
-    if r_eff <= 1:
-        return None
-    n = len(round_lists[0])
-    total = num_list * cap
-    prev = np.full((total, r_eff - 1), -1, np.int32)
-    for r in range(1, r_eff):
-        slots = flat_slot[r * n : (r + 1) * n]
-        valid = slots >= 0
-        for j in range(r):
-            prev[slots[valid], j] = round_lists[j][valid]
-    return prev.reshape(num_list, cap, r_eff - 1)
-
-
 def resolve_num_list(num_list: int, n: int) -> int:
     """Size-aware list count: ``num_list <= 0`` selects ~13*sqrt(n)
     rounded to a power of two, clamped to [16, 65536].
@@ -435,25 +404,50 @@ def soar_round_choices(vectors, centroids, choices, r_eff, soar_lambda):
 
 
 def _dedup_topk(scores, ids, k: int):
-    """Top-k by score over unique ids ((B, K') -> (B, k)).
+    """Unique-id top-k over canonically ordered lanes ((B, K') -> (B, k)).
 
     Redundant assignment stores a vector in several lists, so a scan can
     surface the same id up to R times (with identical scores -- copies
-    are bit-identical).  Sort by id, keep each id's first occurrence,
-    then re-select by score.
+    are bit-identical).  Lanes arrive in canonical (score desc, position
+    asc) order from `_canonical_topk` (or a canonical merge); keeping
+    each id's FIRST lane and preserving lane order is therefore the
+    canonical unique-id top-k.
+
+    Formulation (round 4): sort (id, lane-rank) pairs -- stability keeps
+    ranks ascending within an id run -- mark each run's first rank, sort
+    the kept ranks ascending, take the first k.  Two K'-lane sorts + two
+    (B, k) gathers.  This replaced BOTH earlier forms, measured at bench
+    shapes (tools/profile_fullscan.py): the min-rank-copy `padded_prev`
+    table dedup cost ~300 ms/batch in (Q, K') row gathers against the
+    probe bitmap (row gathers run at ~18 ns/element on TPU -- they were
+    the single largest ann-select cost), and the argsort+re-top_k form
+    paid an argsort payload plus three row gathers.  The prev-table's
+    ADVICE tie-boundary caveat (an id could vanish when the selection
+    boundary cut between two of its copies) is gone by construction:
+    whichever copy was selected survives.
     """
-    order = jnp.argsort(ids, axis=1)
-    ids_s = jnp.take_along_axis(ids, order, axis=1)
-    sc_s = jnp.take_along_axis(scores, order, axis=1)
+    q, ks = ids.shape
+    rank = jnp.broadcast_to(
+        jnp.arange(ks, dtype=jnp.int32)[None, :], (q, ks)
+    )
+    ids_s, rank_s = jax.lax.sort(
+        (ids, rank), dimension=1, is_stable=True, num_keys=1
+    )
     first = jnp.concatenate(
         [jnp.ones_like(ids_s[:, :1], bool), ids_s[:, 1:] != ids_s[:, :-1]],
         axis=1,
     ) & (ids_s >= 0)
-    sc_s = jnp.where(first, sc_s, -jnp.inf)
-    k = min(k, ids_s.shape[1])
-    top, pos = jax.lax.top_k(sc_s, k)
-    out_ids = jnp.take_along_axis(ids_s, pos, axis=1)
-    return top, jnp.where(top > -jnp.inf, out_ids, -1)
+    kept = jnp.where(first, rank_s, ks)  # ks sentinel sorts last
+    kept = jax.lax.sort(kept, dimension=1)[:, : min(k, ks)]
+    valid = kept < ks
+    safe = jnp.where(valid, kept, 0)
+    out_s = jnp.where(
+        valid, jnp.take_along_axis(scores, safe, axis=1), -jnp.inf
+    )
+    out_i = jnp.where(
+        valid, jnp.take_along_axis(ids, safe, axis=1), -1
+    )
+    return out_s, out_i
 
 
 def _canonical_topk(flat, k_sel: int, cast: bool):
@@ -472,22 +466,56 @@ def _canonical_topk(flat, k_sel: int, cast: bool):
     the chunked XLA regime; returned scores are the decoded
     (bf16-rounded) values.  f32 storage ranks exact f32 scores.
 
-    The selection runs on int16 keys (`_key16` values shifted into
-    signed range): `lax.top_k` over a 50M-lane int16 block measured
-    61.3 ms vs 72.9 ms for the int32 form at the 2.1M-row SCALE shape
-    (round-4 on-device selection micro-benchmark) -- the pass is
-    sort-bandwidth-bound, so halving key bytes pays.  The shift is
-    strictly monotone and `top_k` is stable on both dtypes, so the
-    canonical (key desc, position asc) order is unchanged.
+    Selection formulation (round-4 ladder, tools/microbench_select.py,
+    on-device): the 16-bit key and the lane position are PACKED into
+    one uint32 (key high, bit-flipped position low), so the canonical
+    (key desc, position asc) order becomes plain numeric order on a
+    single payload-free operand -- `lax.sort` + tail slice.  vs
+    `lax.top_k` on int16 keys (which carries an int32 iota payload:
+    6 B/lane vs 4 B/lane sorted here) this measured 94.4 -> 64.0 ms at
+    the bench fullscan shape (4096, 24576) k=2048 and 57.2 -> 40.2 ms
+    at the SCALE probe-gather shape (1024, 49152) k=1024, output
+    bit-identical.  Two rejected alternatives from the same ladder:
+    exact threshold selection (17-pass binary search for the k-th key
+    + cumsum compaction) loses 24x on the compaction's row gathers
+    (~18 ns/gathered element on TPU -- row-gather compaction is the
+    wall, not the threshold search), and pooled-max hierarchies are
+    structurally impossible at k/n ~ 8% (round-4 STATUS).  Positions
+    must fit 16 bits; wider lane counts (deep per-query gather scans)
+    fall back to `lax.top_k` on int16 keys.
     """
     if cast:
-        keys = (_key16(flat) - 0x8000).astype(jnp.int16)
-        top_keys, pos = jax.lax.top_k(keys, k_sel)
-        return (
-            _key16_to_f32(top_keys.astype(jnp.int32) + 0x8000),
-            pos,
+        return _canonical_topk_u16(
+            _key16(flat).astype(jnp.uint16), k_sel
         )
     return jax.lax.top_k(flat, k_sel)
+
+
+# _key16(-inf): masked lanes rank below every finite score key and
+# decode back to -inf.
+_KEY16_NINF = 0x7F
+
+
+def _canonical_topk_u16(keys, k_sel: int):
+    """Canonical top-k over precomputed uint16 score keys (`_key16`).
+
+    The packed-sort formulation of `_canonical_topk`'s cast path; the
+    caller has already converted scores to key granularity (so score
+    transients and gathers move 2-byte keys instead of f32)."""
+    n = keys.shape[-1]
+    if n <= 65536:
+        pos_rev = jnp.arange(n - 1, -1, -1, dtype=jnp.uint32)
+        packed = (keys.astype(jnp.uint32) << 16) | pos_rev
+        s = jax.lax.sort(packed, dimension=-1, is_stable=False)
+        top = jnp.flip(s[..., n - min(k_sel, n):], axis=-1)
+        pos = (n - 1) - (top & 0xFFFF).astype(jnp.int32)
+        return _key16_to_f32((top >> 16).astype(jnp.int32)), pos
+    keys16 = (keys.astype(jnp.int32) - 0x8000).astype(jnp.int16)
+    top_keys, pos = jax.lax.top_k(keys16, k_sel)
+    return (
+        _key16_to_f32(top_keys.astype(jnp.int32) + 0x8000),
+        pos,
+    )
 
 
 def _scan_queries(queries, cast: bool):
@@ -527,77 +555,12 @@ def _probe_bitmap(probe_ids, l: int):
     return jnp.any(probe_ids[:, None, :] == iota, axis=-1)
 
 
-def _prev_keep_mask(lists, slots, probed, padded_prev):
-    """Min-rank-copy keep mask for redundant-storage entries.
-
-    An entry (list, slot) survives iff NONE of its lower-rank copies'
-    lists (the build-time ``padded_prev`` table) is in the query's probe
-    set -- i.e. it is the minimum-rank probed copy of its id.
-
-    Known tie-boundary caveat (round-3 ADVICE): copies of one id score
-    identically, so when the selection boundary tie-breaks the min-rank
-    copy OUT of the top-k_scan buffer while a higher-rank copy is
-    inside, the inside copy is masked here (its lower-rank copy's list
-    IS probed) and the id is replaced by the (k+1)-th neighbor.  This
-    needs an exact score tie at the k_scan-th place between copies of
-    the same id, loses at most that one boundary neighbor, and is
-    accepted in exchange for the O(K') mask (an exact fix needs
-    membership tests against the selected (list, slot) set itself).
-    """
-    l = probed.shape[1]
-    keep = jnp.ones(lists.shape, bool)
-    for j in range(padded_prev.shape[-1]):
-        pj = padded_prev[lists, slots, j]  # (Q, K') gather
-        pj_probed = jnp.take_along_axis(
-            probed, jnp.clip(pj, 0, l - 1), axis=1
-        )
-        keep &= ~((pj >= 0) & pj_probed)
-    return keep
-
-
-def _dedup_topk_prev(
-    top_s,  # (Q, K') top-k_scan scores (desc, -inf padded)
-    top_pos,  # (Q, K') flat positions into the (P * cap) probe block
-    top_i,  # (Q, K') ids at those positions (-1 padded)
-    probe_ids,  # (Q, P) probed list ids
-    probed,  # (Q, L) probe bitmap
-    padded_prev,  # (L, cap, R-1) lower-rank copy lists
-    cap: int,
-    k: int,
-):
-    """Min-rank-copy dedup applied AFTER the top-k_scan selection.
-
-    Redundant storage surfaces a vector once per probed copy (identical
-    scores), so the top R*k entries contain at least k unique ids.  An
-    entry survives iff it is the minimum-rank copy whose list the query
-    probes (`_prev_keep_mask`) -- exactly one copy of each id survives,
-    giving the same unique-id top-k as the sort-based `_dedup_topk`
-    without its (Q, K') argsort.  Operating on the selection, not the
-    full (P * cap) block, keeps the `padded_prev` gathers ~P*cap/K'
-    times smaller (measured ~1.1 s/batch for the pre-mask form vs
-    ~50 ms here at bench shapes).
-    """
-    lp = top_pos // cap  # (Q, K') probe index
-    slot = top_pos - lp * cap
-    lists = jnp.take_along_axis(probe_ids, lp, axis=1)  # (Q, K')
-    keep = (top_s > -jnp.inf) & _prev_keep_mask(
-        lists, slot, probed, padded_prev
-    )
-    sc = jnp.where(keep, top_s, -jnp.inf)
-    k_out = min(k, sc.shape[1])
-    out_s, pos2 = jax.lax.top_k(sc, k_out)
-    out_i = jnp.take_along_axis(top_i, pos2, axis=1)
-    out_i = jnp.where(out_s > -jnp.inf, out_i, -1)
-    return out_s, out_i
-
-
-@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
 def _ivf_search_fullscan(
     padded_vectors,  # (L, cap, D) storage dtype
     padded_ids,  # (L, cap) int32, -1 = padding
     padded_prec,  # (L, cap) float32 precursor m/z (0 pad)
     padded_scales,  # (L, cap) float32 (int8 dequant; 1s)
-    padded_prev,  # (L, cap, R-1) int32 lower-rank copy lists, or None
     centroids,  # (L, D) float32
     queries,  # (B, D) float32, B % _TILE_Q == 0
     q_prec,  # (B,) float32 (ignored unless tol_val > 0)
@@ -607,6 +570,7 @@ def _ivf_search_fullscan(
     k_scan: int,  # entries selected before dedup (R * k for x-R storage)
     tol_val: float,
     tol_mode: str,
+    redundant: bool = True,  # R > 1 storage: ids can repeat pre-dedup
 ):
     """Full-library tile scan: the MXU-native regime.
 
@@ -626,11 +590,9 @@ def _ivf_search_fullscan(
     construction, nothing can drop, no rerun path.
 
     Redundant-storage duplicates are removed AFTER the top-k_scan
-    selection: the min-rank-copy rule (`_dedup_topk_prev`) when the
-    build provides `padded_prev`, the sort-based `_dedup_topk` for
-    older persisted indexes.  Queries stay in input order (tiles share
-    nothing, so the centroid-sort of the budget path buys nothing
-    here).
+    selection by the rank-order sort dedup (`_dedup_topk`).  Queries
+    stay in input order (tiles share nothing, so the centroid-sort of
+    the budget path buys nothing here).
 
     Formulation measurements (v5e, bench shapes, batch granularity --
     single-dispatch timings on the tunneled backend only measure the
@@ -668,6 +630,13 @@ def _ivf_search_fullscan(
             preferred_element_type=jnp.float32,
         )  # (T, L, cap)
         scores = scores * padded_scales[None]
+        if cast:
+            # bf16/int8 storage ranks at 16-bit key granularity anyway
+            # (_canonical_topk): convert in the einsum epilogue so the
+            # (T, L, cap) score transient AND the probed-score gather
+            # move uint16, not f32 -- the gather is the second-largest
+            # fullscan cost (44 ms/batch at bench shapes) and halves.
+            scores = _key16(scores).astype(jnp.uint16)
         sel = jnp.take_along_axis(
             scores, probe_ids[:, :, None], axis=1
         )  # (T, P, cap)
@@ -678,23 +647,25 @@ def _ivf_search_fullscan(
             mask &= _window_mask(
                 qpt[:, None, None], prec, charge, tol_val, tol_mode
             )
-        flat = jnp.where(mask, sel, -jnp.inf).reshape(tile, p * cap)
         k_sel = min(k_scan, p * cap)
-        top_s, pos = _canonical_topk(flat, k_sel, cast)
+        if cast:
+            flat = jnp.where(mask, sel, _KEY16_NINF).reshape(
+                tile, p * cap
+            )
+            top_s, pos = _canonical_topk_u16(flat, k_sel)
+        else:
+            flat = jnp.where(mask, sel, -jnp.inf).reshape(
+                tile, p * cap
+            )
+            top_s, pos = _canonical_topk(flat, k_sel, cast)
         top_i = jnp.take_along_axis(
             ids_g.reshape(tile, p * cap), pos, axis=1
         )
         top_i = jnp.where(top_s > -jnp.inf, top_i, -1)
-        # Redundant storage: dedup ids, reselect top-k.  The prev-table
-        # dedup also runs when k_sel <= k (a tiny probed set can still
-        # surface both copies of an id; FAISS never returns duplicates).
-        if padded_prev is not None:
-            probed = _probe_bitmap(probe_ids, l)
-            top_s, top_i = _dedup_topk_prev(
-                top_s, pos, top_i, probe_ids, probed, padded_prev,
-                cap, k,
-            )
-        elif k_sel > k:
+        # Redundant storage: dedup ids, reselect top-k.  Runs even when
+        # k_sel <= k (a tiny probed set can still surface both copies
+        # of an id; FAISS never returns duplicates).
+        if redundant or k_sel > k:
             top_s, top_i = _dedup_topk(top_s, top_i, k)
         return _pad_topk(top_s, top_i, k)
 
@@ -729,13 +700,12 @@ def _tie_unsafe(pool_vals, kept_vals):
     return n_at > n_kept_at
 
 
-@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
 def _ivf_search_chunked(
     padded_vectors,  # (L, cap, D) storage dtype
     padded_ids,  # (L, cap) int32, -1 = padding
     padded_prec,  # (L, cap) float32 precursor m/z (0 pad)
     padded_scales,  # (L, cap) float32 (int8 dequant; 1s)
-    padded_prev,  # (L, cap, R-1) int32 lower-rank copy lists, or None
     centroids,  # (L, D) float32
     queries,  # (B, D) float32, B <= super-tile size
     q_prec,  # (B,) float32 (ignored unless tol_val > 0)
@@ -747,6 +717,7 @@ def _ivf_search_chunked(
     list_chunk: int,  # lists scanned per chunk
     tol_val: float,
     tol_mode: str,
+    redundant: bool = True,
 ):
     """Chunked full-library scan with pooled-max hierarchical selection.
 
@@ -930,16 +901,7 @@ def _ivf_search_chunked(
     slots = run_pos - lists * cap
     run_i = jnp.where(run_s > -jnp.inf, padded_ids[lists, slots], -1)
 
-    if padded_prev is not None:
-        keep = (run_s > -jnp.inf) & _prev_keep_mask(
-            lists, slots, probed, padded_prev
-        )
-        sc = jnp.where(keep, run_s, -jnp.inf)
-        k_out = min(k, k_eff)
-        out_s, pos2 = jax.lax.top_k(sc, k_out)
-        out_i = jnp.take_along_axis(run_i, pos2, axis=1)
-        out_i = jnp.where(out_s > -jnp.inf, out_i, -1)
-    elif k_eff > k:
+    if redundant or k_eff > k:
         out_s, out_i = _dedup_topk(run_s, run_i, k)
     else:
         out_s, out_i = run_s, run_i
@@ -947,13 +909,12 @@ def _ivf_search_chunked(
     return out_s, out_i, inexact
 
 
-@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _ivf_chunked_pallas_tile(
     padded_vectors,  # (L, cap, Dp) int8/bf16, Dp % 128 == 0
     padded_ids,  # (L, cap) int32
     padded_prec,  # (L, cap) f32
     padded_scales,  # (L, cap) f32
-    padded_prev,  # (L, cap, R-1) int32 or None
     centroids,  # (L, Dp) f32
     queries,  # (B, Dp) f32
     q_prec,  # (B,) f32
@@ -964,6 +925,7 @@ def _ivf_chunked_pallas_tile(
     tol_val: float,
     tol_mode: str,
     interpret: bool = False,
+    redundant: bool = True,
 ):
     """Fused-kernel chunked scan: probe, Pallas scan+select, finalize.
 
@@ -984,7 +946,6 @@ def _ivf_chunked_pallas_tile(
         queries, centroids.T, preferred_element_type=jnp.float32
     )
     _, probe_ranked = jax.lax.top_k(coarse, p)  # coarse-score desc
-    probed = _probe_bitmap(probe_ranked, l)
     valid = (padded_ids >= 0).astype(jnp.int8)
     # Hot/cold split: the top-H coarse lists go to the exact hot scan,
     # the cold tail to the kernel (see ops.ivf_scan_pallas.
@@ -1003,21 +964,11 @@ def _ivf_chunked_pallas_tile(
     lists = flat_pos // cap
     slots = flat_pos - lists * cap
     run_i = jnp.where(run_s > -jnp.inf, padded_ids[lists, slots], -1)
-    if padded_prev is not None:
-        keep = (run_s > -jnp.inf) & _prev_keep_mask(
-            lists, slots, probed, padded_prev
-        )
-        sc = jnp.where(keep, run_s, -jnp.inf)
-        k_out = min(k, k_eff)
-        out_s, pos2 = jax.lax.top_k(sc, k_out)
-        out_i = jnp.take_along_axis(run_i, pos2, axis=1)
-        out_i = jnp.where(out_s > -jnp.inf, out_i, -1)
-        # No tie flag here: `run_s` lanes arrive in the canonical
-        # (key16 desc, global position asc) order and `top_k` is
-        # stable, so this re-selection tie-breaks exactly like the
-        # per-query oracle's `_dedup_topk_prev` does on its own
-        # canonically-ordered lanes.
-    elif k_eff > k:
+    # No tie flag here: `run_s` lanes arrive in the canonical
+    # (key16 desc, global position asc) order, so the rank-order
+    # dedup keeps exactly the entries the per-query oracle keeps on
+    # its own canonically-ordered lanes.
+    if redundant or k_eff > k:
         out_s, out_i = _dedup_topk(run_s, run_i, k)
     else:
         out_s, out_i = run_s, run_i
@@ -1025,13 +976,12 @@ def _ivf_chunked_pallas_tile(
     return out_s, out_i, inexact
 
 
-@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _ivf_probe_scan_tile(
     padded_vectors,  # (L, cap, Dp) int8/bf16, cap % 128 == Dp % 128 == 0
     padded_ids,  # (L, cap) int32
     padded_prec,  # (L, cap) f32
     padded_scales,  # (L, cap) f32
-    padded_prev,  # (L, cap, R-1) int32 or None
     centroids,  # (L, Dp) f32
     queries,  # (B, Dp) f32, B a power of two
     q_prec,  # (B,) f32
@@ -1042,6 +992,7 @@ def _ivf_probe_scan_tile(
     tol_val: float,
     tol_mode: str,
     interpret: bool = False,
+    redundant: bool = True,
 ):
     """EXACT probe-gather scan: the primary big-library select path.
 
@@ -1051,7 +1002,7 @@ def _ivf_probe_scan_tile(
     made the fused chunked kernel 2.57 s/batch), then selects once in
     canonical form.  The lane layout (probe lists sorted ascending,
     slots in order) is exactly `_ivf_search_perquery`'s, and the same
-    `_canonical_topk` + `_dedup_topk_prev` finalization runs on it, so
+    `_canonical_topk` + `_dedup_topk` finalization runs on it, so
     results match the per-query oracle with no certificates and no
     repair path.
 
@@ -1079,10 +1030,6 @@ def _ivf_probe_scan_tile(
         padded_ids = jnp.pad(padded_ids, pad, constant_values=-1)
         padded_prec = jnp.pad(padded_prec, pad)
         padded_scales = jnp.pad(padded_scales, pad)
-        if padded_prev is not None:
-            padded_prev = jnp.pad(
-                padded_prev, (*pad, (0, 0)), constant_values=-1
-            )
         cap = cap128
     coarse = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
@@ -1108,13 +1055,7 @@ def _ivf_probe_scan_tile(
     top_ids = jnp.where(
         top_scores > -jnp.inf, padded_ids[lists, slot], -1
     )
-    if padded_prev is not None:
-        probed = _probe_bitmap(probe_ids, l)
-        top_scores, top_ids = _dedup_topk_prev(
-            top_scores, pos, top_ids, probe_ids, probed, padded_prev,
-            cap, k,
-        )
-    elif k_eff > k:
+    if redundant or k_eff > k:
         top_scores, top_ids = _dedup_topk(top_scores, top_ids, k)
     return _pad_topk(top_scores, top_ids, k)
 
@@ -1142,13 +1083,12 @@ def chunked_scan_params(
     return pool_g, list_chunk
 
 
-@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
 def _ivf_search_batch(
     padded_vectors: jnp.ndarray,  # (L, cap, D) storage dtype
     padded_ids: jnp.ndarray,  # (L, cap) int32, -1 = padding
     padded_prec: jnp.ndarray,  # (L, cap) float32 precursor m/z (0 pad)
     padded_scales: jnp.ndarray,  # (L, cap) float32 (int8 dequant; 1s)
-    padded_prev,  # (L, cap, R-1) int32 lower-rank copy lists, or None
     centroids: jnp.ndarray,  # (L, D) float32
     queries: jnp.ndarray,  # (B, D) float32, B % _TILE_Q == 0
     q_prec: jnp.ndarray,  # (B,) float32 (ignored unless tol_val > 0)
@@ -1160,6 +1100,7 @@ def _ivf_search_batch(
     k_scan: int,  # entries selected before dedup (R * k for x-R storage)
     tol_val: float,  # <= 0 disables the fused precursor window
     tol_mode: str,
+    redundant: bool = True,
 ):
     """Whole-batch IVF search as ONE device program.
 
@@ -1262,15 +1203,9 @@ def _ivf_search_batch(
             ids_g.reshape(tile, p * cap), pos, axis=1
         )
         top_i = jnp.where(top_s > -jnp.inf, top_i, -1)
-        # Redundant storage: dedup ids, reselect top-k (prev-table form
-        # also at k_sel <= k -- see _ivf_search_fullscan).
-        if padded_prev is not None:
-            probed = _probe_bitmap(probe_ids, l)
-            top_s, top_i = _dedup_topk_prev(
-                top_s, pos, top_i, probe_ids, probed, padded_prev,
-                cap, k,
-            )
-        elif k_sel > k:
+        # Redundant storage: dedup ids, reselect top-k (also at
+        # k_sel <= k -- see _ivf_search_fullscan).
+        if redundant or k_sel > k:
             top_s, top_i = _dedup_topk(top_s, top_i, k)
         top_s, top_i = _pad_topk(top_s, top_i, k)
         return top_s, top_i, dropped
@@ -1298,22 +1233,22 @@ def _ivf_search_batch(
     return out_scores, out_ids, out_dropped
 
 
-@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13))
+@partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
 def _ivf_search_perquery(
     padded_vectors: jnp.ndarray,  # (L, cap, D)
     padded_ids: jnp.ndarray,  # (L, cap)
     padded_prec: jnp.ndarray,  # (L, cap)
     padded_scales: jnp.ndarray,  # (L, cap)
-    padded_prev,  # (L, cap, R-1) int32 lower-rank copy lists, or None
     centroids: jnp.ndarray,  # (L, D)
     queries: jnp.ndarray,  # (B, D)
     q_prec: jnp.ndarray,  # (B,)
     charge: jnp.ndarray,  # ()
     num_probe: int,
     k: int,
-    k_scan: int,  # entries selected before dedup (R * k; prev-table off)
+    k_scan: int,  # entries selected before dedup (R * k for x-R storage)
     tol_val: float,
     tol_mode: str,
+    redundant: bool = True,
 ):
     """Exact per-query probe scan: each query gathers its OWN top
     `num_probe` lists (uniform caps make the gather static-shape) inside
@@ -1321,8 +1256,7 @@ def _ivf_search_perquery(
     for tile-level list sharing, and a correctness oracle for the tiles.
 
     Redundant-storage duplicates are removed after the top-k_scan
-    selection: `_dedup_topk_prev` (min-rank-copy rule) when the build
-    provides `padded_prev`, sort-based `_dedup_topk` otherwise.
+    selection by the rank-order sort dedup (`_dedup_topk`).
     """
     l, cap, d = padded_vectors.shape
     p = min(num_probe, l)
@@ -1365,12 +1299,6 @@ def _ivf_search_perquery(
             ids.reshape(q.shape[0], -1), pos, axis=1
         )
         top_ids = jnp.where(top_scores > -jnp.inf, top_ids, -1)
-        if padded_prev is not None:
-            probed = _probe_bitmap(probes, l)
-            top_scores, top_ids = _dedup_topk_prev(
-                top_scores, pos, top_ids, probes, probed, padded_prev,
-                cap, k,
-            )
         return carry, (top_scores, top_ids)
 
     _, (scores, ids) = jax.lax.scan(
@@ -1381,10 +1309,9 @@ def _ivf_search_perquery(
             probe_ids.reshape(b // g, g, -1),
         ),
     )
-    k_out = k_eff if padded_prev is None else min(k, k_eff)
-    scores = scores.reshape(b, k_out)
-    ids = ids.reshape(b, k_out)
-    if k_out > k:  # redundant storage: dedup ids, reselect top-k
+    scores = scores.reshape(b, k_eff)
+    ids = ids.reshape(b, k_eff)
+    if redundant or k_eff > k:  # redundant storage: dedup, reselect
         scores, ids = _dedup_topk(scores, ids, k)
     return _pad_topk(scores, ids, k)
 
@@ -1401,16 +1328,13 @@ class IvfIndex:
         padded_prec: Optional[np.ndarray] = None,  # (L, cap)
         padded_scales: Optional[np.ndarray] = None,  # (L, cap), int8 SQ
         redundancy: int = 1,
-        padded_prev: Optional[np.ndarray] = None,  # (L, cap, R-1)
     ):
         self.centroids = centroids
         self.padded_vectors = padded_vectors
         self.padded_ids = padded_ids
         self.num_probe = num_probe
-        # Copies stored per vector.  With the `padded_prev` table the
-        # min-rank-copy mask removes duplicates at the scan; without it
-        # (older persisted indexes) search paths scan top-(R*k) entries
-        # and sort-deduplicate ids.
+        # Copies stored per vector.  Search paths scan top-(R*k)
+        # entries and rank-order-deduplicate ids (`_dedup_topk`).
         self.redundancy = max(1, int(redundancy))
         if padded_prec is None:
             padded_prec = np.zeros(padded_ids.shape, np.float32)
@@ -1418,10 +1342,7 @@ class IvfIndex:
         if padded_scales is None:
             padded_scales = np.ones(padded_ids.shape, np.float32)
         self.padded_scales = padded_scales
-        self.padded_prev = padded_prev if self.redundancy > 1 else None
         self._device = None
-        self._device_prev = None
-        self._device_prev_src = None
         self._last_chunked_flagged = 0  # observability (SCALE.json)
         # Sticky: once a query batch shows tile-level list sharing does
         # not pay (most rows overflow the vote budget), later batches on
@@ -1444,8 +1365,6 @@ class IvfIndex:
             + np.asarray(self.padded_prec).nbytes
             + np.asarray(self.padded_scales).nbytes
         )
-        if self.padded_prev is not None:
-            total += np.asarray(self.padded_prev).nbytes
         return total / max(n, 1)
 
     @property
@@ -1465,12 +1384,7 @@ class IvfIndex:
         return d
 
     def device_arrays(self):
-        """Index blocks resident on the default device (uploaded once).
-
-        `padded_prev` shares the cache slot: reassigning or clearing it
-        after the first call takes effect on the next call (round-3
-        ADVICE -- a stale `_device_prev` would silently flip the dedup
-        mode)."""
+        """Index blocks resident on the default device (uploaded once)."""
         if self._device is None:
             d = self.padded_vectors.shape[-1]
             dp = self.device_dim
@@ -1485,14 +1399,6 @@ class IvfIndex:
                 jnp.asarray(self.padded_prec),
                 jnp.asarray(self.padded_scales),
                 cents,
-            )
-            self._device_prev = None
-            self._device_prev_src = None
-        if self.padded_prev is not self._device_prev_src:
-            self._device_prev_src = self.padded_prev
-            self._device_prev = (
-                None if self.padded_prev is None
-                else jnp.asarray(self.padded_prev)
             )
         return self._device
 
@@ -1557,11 +1463,8 @@ class IvfIndex:
         round_choices = soar_round_choices(
             vectors_d, centroids, choices, r_eff, soar_lambda
         )
-        flat_slot, row_ids, spilled, round_lists = plan_assignments(
+        flat_slot, row_ids, spilled, _ = plan_assignments(
             choices, num_list, cap, r_eff, round_choices=round_choices
-        )
-        padded_prev = pack_prev_lists(
-            flat_slot, round_lists, num_list, cap
         )
         ids_flat, padded_vectors, padded_scales = _pack_lists(
             vectors_d, jnp.asarray(flat_slot), jnp.asarray(row_ids),
@@ -1583,7 +1486,7 @@ class IvfIndex:
         return cls(
             np.asarray(centroids), padded_vectors, padded_ids,
             int(config.num_probe), padded_prec, padded_scales,
-            redundancy=r_eff, padded_prev=padded_prev,
+            redundancy=r_eff,
         )
 
     @classmethod
@@ -1677,10 +1580,6 @@ class IvfIndex:
             f.create_dataset(
                 "padded_scales", data=np.asarray(self.padded_scales)
             )
-            if self.padded_prev is not None:
-                f.create_dataset(
-                    "padded_prev", data=np.asarray(self.padded_prev)
-                )
             f.attrs["redundancy"] = self.redundancy
             if getattr(self, "store_fp", None) is not None:
                 f.attrs["store_fp"] = self.store_fp
@@ -1702,9 +1601,6 @@ class IvfIndex:
                 f["padded_prec"][()] if "padded_prec" in f else None,
                 f["padded_scales"][()] if "padded_scales" in f else None,
                 redundancy=int(f.attrs.get("redundancy", 1)),
-                padded_prev=(
-                    f["padded_prev"][()] if "padded_prev" in f else None
-                ),
             )
             index.store_fp = f.attrs.get("store_fp", None)
             return index
@@ -1791,7 +1687,6 @@ class IvfIndex:
         vectors_d, ids_d, prec_d, scales_d, centroids_d = (
             self.device_arrays()
         )
-        prev_d = self._device_prev
         # Device scalar cached per charge value: a fresh jnp.float32
         # per call is one host->device RPC on tunneled backends (the
         # per-charge engine reuses a handful of values).
@@ -1834,9 +1729,10 @@ class IvfIndex:
                 queries_d = jnp.pad(queries_d, ((0, b_pad - b), (0, 0)))
                 q_prec_d = jnp.pad(q_prec_d, (0, b_pad - b))
             out_scores, out_ids = _ivf_search_fullscan(
-                vectors_d, ids_d, prec_d, scales_d, prev_d, centroids_d,
+                vectors_d, ids_d, prec_d, scales_d, centroids_d,
                 queries_d, q_prec_d, charge_d,
                 num_probe, k, k_scan, tol_val, tol_mode,
+                self.redundancy > 1,
             )
             return out_ids[:b], out_scores[:b]
         if union_covers:
@@ -1883,9 +1779,10 @@ class IvfIndex:
                 queries_d = jnp.pad(queries_d, ((0, b_pad - b), (0, 0)))
                 q_prec_d = jnp.pad(q_prec_d, (0, b_pad - b))
             scores, ids = _ivf_search_perquery(
-                vectors_d, ids_d, prec_d, scales_d, prev_d, centroids_d,
+                vectors_d, ids_d, prec_d, scales_d, centroids_d,
                 queries_d, q_prec_d, charge_d,
                 num_probe, k, k_scan, tol_val, tol_mode,
+                self.redundancy > 1,
             )
             return ids[:b], scores[:b]
 
@@ -1895,9 +1792,10 @@ class IvfIndex:
             queries_d = jnp.pad(queries_d, ((0, b_pad - b), (0, 0)))
             q_prec_d = jnp.pad(q_prec_d, (0, b_pad - b))
         out_scores, out_ids, dropped = _ivf_search_batch(
-            vectors_d, ids_d, prec_d, scales_d, prev_d, centroids_d,
+            vectors_d, ids_d, prec_d, scales_d, centroids_d,
             queries_d, q_prec_d, charge_d,
             num_probe, budget, _LIST_CHUNK, k, k_scan, tol_val, tol_mode,
+            self.redundancy > 1,
         )
         if budget >= l:  # every list scanned: nothing can drop
             return out_ids[:b], out_scores[:b]
@@ -1921,9 +1819,10 @@ class IvfIndex:
             ).astype(np.int32)
         )
         r_scores, r_ids = _ivf_search_perquery(
-            vectors_d, ids_d, prec_d, scales_d, prev_d, centroids_d,
+            vectors_d, ids_d, prec_d, scales_d, centroids_d,
             queries_d[rows_d], q_prec_d[rows_d], charge_d,
             num_probe, k, k_scan, tol_val, tol_mode,
+            self.redundancy > 1,
         )
         out_ids = out_ids.at[rows_d].set(r_ids)
         out_scores = out_scores.at[rows_d].set(r_scores)
@@ -1957,7 +1856,6 @@ class IvfIndex:
         vectors_d, ids_d, prec_d, scales_d, centroids_d = (
             self.device_arrays()
         )
-        prev_d = self._device_prev
         l, cap, _ = self.padded_vectors.shape
         dp = vectors_d.shape[-1]
         probe_env = os.environ.get("ANN_SOLO_TPU_PROBE_PALLAS", "1")
@@ -2023,27 +1921,29 @@ class IvfIndex:
             if n_pad != n:
                 qt = jnp.pad(qt, ((0, n_pad - n), (0, 0)))
                 qpt = jnp.pad(qpt, (0, n_pad - n))
+            redundant = self.redundancy > 1
             if use_probe:
                 s, i = _ivf_probe_scan_tile(
-                    vectors_d, ids_d, prec_d, scales_d, prev_d,
+                    vectors_d, ids_d, prec_d, scales_d,
                     centroids_d, qt, qpt, charge_d, num_probe, k,
-                    k_scan, tol_val, tol_mode, interpret,
+                    k_scan, tol_val, tol_mode, interpret, redundant,
                 )
                 inexact = None  # exact path: statically nothing flagged
             elif use_pallas:
                 s, i, inexact = _ivf_chunked_pallas_tile(
-                    vectors_d, ids_d, prec_d, scales_d, prev_d,
+                    vectors_d, ids_d, prec_d, scales_d,
                     centroids_d, qt, qpt, charge_d, num_probe, k,
-                    k_scan, tol_val, tol_mode, interpret,
+                    k_scan, tol_val, tol_mode, interpret, redundant,
                 )
             else:
                 pool_g, list_chunk = chunked_scan_params(
                     l, cap, num_probe, k_scan, n_pad
                 )
                 s, i, inexact = _ivf_search_chunked(
-                    vectors_d, ids_d, prec_d, scales_d, prev_d,
+                    vectors_d, ids_d, prec_d, scales_d,
                     centroids_d, qt, qpt, charge_d, num_probe, k,
                     k_scan, pool_g, list_chunk, tol_val, tol_mode,
+                    redundant,
                 )
             out_scores.append(s[:n])
             out_ids.append(i[:n])
@@ -2080,9 +1980,10 @@ class IvfIndex:
             ).astype(np.int32)
         )
         r_scores, r_ids = _ivf_search_perquery(
-            vectors_d, ids_d, prec_d, scales_d, prev_d, centroids_d,
+            vectors_d, ids_d, prec_d, scales_d, centroids_d,
             queries_d[rows_d], q_prec_d[rows_d], charge_d,
             num_probe, k, k_scan, tol_val, tol_mode,
+            self.redundancy > 1,
         )
         out_ids = out_ids.at[rows_d].set(r_ids)
         out_scores = out_scores.at[rows_d].set(r_scores)

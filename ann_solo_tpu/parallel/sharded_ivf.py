@@ -54,7 +54,6 @@ def _local_ivf_scan(
     list_axes: Tuple[str, ...] = ("lib",),
     list_axis_sizes: Tuple[int, ...] = (1,),
     k_scan: int = 0,  # pre-dedup width for redundant storage (0 = k)
-    padded_prev=None,  # (L_l, cap, R-1) lower-rank copy lists (global ids)
 ):
     l_total = centroids.shape[0]
     b = queries.shape[0]
@@ -116,30 +115,6 @@ def _local_ivf_scan(
     # regimes exactly (the sharded == single-device identity test).
     local_scores, pos = _canonical_topk(scores, k_local, cast)
     local_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
-    if padded_prev is not None:
-        # Min-rank-copy dedup on the LOCAL selection (index/ivf.
-        # pack_prev_lists): an entry is dropped when a lower-rank copy
-        # of its id lives in a probed list -- on ANY shard (the table
-        # stores global list ids and `probed` is global), so exactly one
-        # copy survives the cross-shard merge and no post-merge id dedup
-        # is needed.
-        prev_flat = padded_prev.reshape(l_l * p, -1)  # (L_l*P, R-1)
-        keep = local_scores > -jnp.inf
-        for j in range(prev_flat.shape[-1]):
-            pj = jnp.take(prev_flat[:, j], pos.reshape(-1)).reshape(
-                b, k_local
-            )
-            pj_probed = jnp.take_along_axis(
-                probed, jnp.clip(pj, 0, l_total - 1), axis=1
-            )
-            keep &= ~((pj >= 0) & pj_probed)
-        sc = jnp.where(keep, local_scores, -jnp.inf)
-        k_keep = min(k, k_local)
-        local_scores, pos2 = jax.lax.top_k(sc, k_keep)
-        local_ids = jnp.take_along_axis(local_ids, pos2, axis=1)
-        local_ids = jnp.where(local_scores > -jnp.inf, local_ids, -1)
-        k_local = k_keep
-        k_scan = k
     # Merge per-shard top-k over ICI.
     # O(k) merge: one all-gather per list axis (DCN leg last and tiny
     # on multi-slice meshes -- k entries per query per slice).
@@ -155,7 +130,7 @@ def _local_ivf_scan(
     )
     top_ids = jnp.take_along_axis(merged_ids, top_pos, axis=1)
     top_ids = jnp.where(top_scores > -jnp.inf, top_ids, -1)
-    if top_scores.shape[1] > k:
+    if k_scan > k or top_scores.shape[1] > k:
         top_scores, top_ids = _dedup_topk(top_scores, top_ids, k)
     top_scores, top_ids = _pad_topk(top_scores, top_ids, k)
     return top_ids, top_scores
@@ -168,7 +143,6 @@ def _sharded_ivf_impl(
     num_probe: int, k: int, lists_per_shard: int,
     charge: float, tol_val: float, tol_mode: str,
     k_scan: int = 0,
-    padded_prev=None,
 ):
     in_specs = [
         P("dp", None),  # queries
@@ -193,14 +167,6 @@ def _sharded_ivf_impl(
         tol_mode=tol_mode,
         k_scan=k_scan,
     )
-    if padded_prev is not None:
-        in_specs.append(P("lib", None, None))  # lower-rank copy lists
-        args.append(padded_prev)
-
-        def body_prev(q, qp, v, i, pr, sc, c, prev, _inner=body):
-            return _inner(q, qp, v, i, pr, sc, c, padded_prev=prev)
-
-        body = body_prev
     fn = shard_map(
         body,
         mesh=mesh,
@@ -313,15 +279,6 @@ class ShardedIvfIndex:
             jnp.asarray(index.centroids, jnp.float32),
             NamedSharding(mesh, P()),
         )
-        prev = getattr(index, "padded_prev", None)
-        self.prev_s = (
-            jax.device_put(
-                jnp.asarray(prev),
-                NamedSharding(mesh, _list_spec(mesh, 2)),
-            )
-            if prev is not None
-            else None
-        )
 
     @classmethod
     def build_sharded(
@@ -363,7 +320,6 @@ class ShardedIvfIndex:
         from ann_solo_tpu.index.ivf import (
             _pack_lists,
             ivf_build_params,
-            pack_prev_lists,
             plan_assignments,
             resolve_soar_lambda,
         )
@@ -431,11 +387,8 @@ class ShardedIvfIndex:
                 for start in range(0, n, block)
             ])
             round_choices = [second] + [None] * max(0, r_eff - 2)
-        flat_slot, row_ids, spilled, round_lists = plan_assignments(
+        flat_slot, row_ids, spilled, _ = plan_assignments(
             choices, num_list, cap, r_eff, round_choices=round_choices
-        )
-        prev_global = pack_prev_lists(
-            flat_slot, round_lists, num_list, cap
         )
         logger.debug(
             "Sharded IVF build: %d lists (cap %d, x%d), %d spilled",
@@ -508,21 +461,6 @@ class ShardedIvfIndex:
         )
         index.scales_s = _place_lib_blocks(
             mesh, scale_blocks, _list_spec(mesh, 1)
-        )
-        index.prev_s = (
-            _place_lib_blocks(
-                mesh,
-                [
-                    prev_global[
-                        s_idx * lists_per_shard
-                        : (s_idx + 1) * lists_per_shard
-                    ]
-                    for s_idx in range(lib_shards)
-                ],
-                _list_spec(mesh, 2),
-            )
-            if prev_global is not None
-            else None
         )
         index.centroids_s = jax.device_put(
             jnp.asarray(centroids), NamedSharding(mesh, P())
@@ -655,7 +593,6 @@ class ShardedIvfIndex:
             num_probe, k, self.lists_per_shard,
             float(charge), float(tol_val), tol_mode,
             self.redundancy * k,
-            self.prev_s,
         )
         return ids[:b], scores[:b]
 
@@ -667,7 +604,6 @@ def _multislice_ivf_impl(
     num_probe: int, k: int, lists_per_shard: int,
     charge: float, tol_val: float, tol_mode: str,
     k_scan: int = 0,
-    padded_prev=None,
 ):
     """Sharded IVF scan with lists partitioned over ('dcn', 'lib').
 
@@ -701,14 +637,6 @@ def _multislice_ivf_impl(
             mesh.shape["dcn"], mesh.shape["lib"]
         ),
     )
-    if padded_prev is not None:
-        in_specs.append(P(("dcn", "lib"), None, None))
-        args.append(padded_prev)
-
-        def body_prev(q, qp, v, i, pr, sc, c, prev, _inner=body):
-            return _inner(q, qp, v, i, pr, sc, c, padded_prev=prev)
-
-        body = body_prev
     fn = shard_map(
         body,
         mesh=mesh,
@@ -780,14 +708,6 @@ def multislice_ivf_search(
         num_probe, k, n_lists // n_shards,
         float(charge), float(tol_val), tol_mode,
         getattr(index, "redundancy", 1) * k,
-        (
-            jax.device_put(
-                jnp.asarray(index.padded_prev),
-                NamedSharding(mesh, P(("dcn", "lib"), None, None)),
-            )
-            if getattr(index, "padded_prev", None) is not None
-            else None
-        ),
     )
     return np.asarray(ids)[:b], np.asarray(scores)[:b]
 

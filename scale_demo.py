@@ -95,9 +95,8 @@ def sharded_main(args) -> int:
         storage_dtype=np.int8, n_iter=args.kmeans_iters,
     )
     # Materialize one element of every placed global array.
-    for arr in (index.vectors_s, index.ids_s, index.prev_s):
-        if arr is not None:
-            np.asarray(arr.ravel()[:1])
+    for arr in (index.vectors_s, index.ids_s):
+        np.asarray(arr.ravel()[:1])
     t_build = time.perf_counter() - t0
     l, cap, d = index.vectors_s.shape
     # Per-device memory bound, from the PLACED buffers themselves.

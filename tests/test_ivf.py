@@ -330,35 +330,50 @@ def test_ivf_returns_valid_ids():
         assert i in set(ids[i][ids[i] >= 0])
 
 
-def test_prev_dedup_matches_sort_dedup():
-    """The min-rank-copy dedup (padded_prev table) must return the same
-    unique-id top-k as the legacy sort-based dedup across all search
-    paths -- old persisted indexes (no table) fall back to the sort."""
+def test_redundant_dedup_unique_and_complete():
+    """Redundant (R=2) storage must never return duplicate ids, and the
+    rank-order dedup (`_dedup_topk`) must keep the id whenever ANY of
+    its copies made the canonical selection (the retired min-rank-copy
+    table could drop an id whose copies straddled a selection-boundary
+    tie -- round-3 ADVICE)."""
+    import jax.numpy as jnp
+
+    from ann_solo_tpu.index.ivf import _dedup_topk
+
     rng = np.random.default_rng(31)
     vectors = _clustered_vectors(rng, n=3000, d=32, n_clusters=16)
     index = IvfIndex.build(
         vectors, IvfConfig(num_list=16, num_probe=4), redundancy=2,
         storage_dtype=np.float32,
     )
-    assert index.padded_prev is not None
-    legacy = IvfIndex(
-        index.centroids, index.padded_vectors, index.padded_ids,
-        index.num_probe, index.padded_prec, index.padded_scales,
-        redundancy=index.redundancy, padded_prev=None,
-    )
-    legacy.padded_prev = None  # constructor keeps None only for r > 1
     queries = vectors[rng.choice(3000, 64, replace=False)]
     queries += 0.05 * rng.normal(size=queries.shape).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
-    prec = np.sort(rng.uniform(400, 1200, 3000)).astype(np.float32)
-    index.padded_prec = legacy.padded_prec  # identical windows
     for probe in (4, 16):  # partial and full probing
         a = index.search(queries, 24, num_probe=probe)
-        b = legacy.search(queries, 24, num_probe=probe)
         for i in range(len(queries)):
-            sa = set(a[i][a[i] >= 0].tolist())
-            sb = set(b[i][b[i] >= 0].tolist())
-            assert sa == sb, f"probe={probe} query {i}"
+            got = a[i][a[i] >= 0].tolist()
+            assert len(got) == len(set(got)), f"probe={probe} q{i}"
+            assert len(got) == 24  # R*k selection guarantees k unique
+
+    # Unit semantics on a crafted tie block: lanes in canonical order,
+    # duplicate ids with identical scores, a boundary tie between two
+    # DIFFERENT ids, and -1 padding.
+    scores = jnp.asarray(
+        [[9.0, 9.0, 7.0, 7.0, 7.0, 5.0, -jnp.inf, -jnp.inf]]
+    )
+    ids = jnp.asarray([[11, 11, 3, 8, 3, 4, -1, -1]], jnp.int32)
+    out_s, out_i = _dedup_topk(scores, ids, 4)
+    np.testing.assert_array_equal(
+        np.asarray(out_i)[0], [11, 3, 8, 4]
+    )
+    np.testing.assert_allclose(np.asarray(out_s)[0], [9.0, 7.0, 7.0, 5.0])
+    # k larger than unique ids: -1/-inf padded
+    out_s, out_i = _dedup_topk(scores, ids, 6)
+    np.testing.assert_array_equal(
+        np.asarray(out_i)[0], [11, 3, 8, 4, -1, -1]
+    )
+    assert np.asarray(out_s)[0, 4] == -np.inf
 
 
 def test_three_regime_parity():
@@ -396,9 +411,8 @@ def test_three_regime_parity():
     q_prec = prec[rows].copy()
 
     vecs_d, ids_d, prec_d, scales_d, cents_d = index.device_arrays()
-    prev_d = index._device_prev
     args = (
-        vecs_d, ids_d, prec_d, scales_d, prev_d, cents_d,
+        vecs_d, ids_d, prec_d, scales_d, cents_d,
         jnp.asarray(queries), jnp.asarray(q_prec), jnp.float32(2.0),
     )
     k_scan = index.redundancy * k
@@ -470,9 +484,8 @@ def test_chunked_scan_parity_and_certificate():
     q_prec = prec[rows].copy()
 
     vecs_d, ids_d, prec_d, scales_d, cents_d = index.device_arrays()
-    prev_d = index._device_prev
     args = (
-        vecs_d, ids_d, prec_d, scales_d, prev_d, cents_d,
+        vecs_d, ids_d, prec_d, scales_d, cents_d,
         jnp.asarray(queries), jnp.asarray(q_prec), jnp.float32(2.0),
     )
     k_scan = index.redundancy * k
@@ -532,18 +545,18 @@ def test_chunked_scan_tie_certificate():
 
     vecs_d, ids_d, prec_d, scales_d, cents_d = index.device_arrays()
     args = (
-        vecs_d, ids_d, prec_d, scales_d, None, cents_d,
+        vecs_d, ids_d, prec_d, scales_d, cents_d,
         jnp.asarray(queries), jnp.zeros(b, jnp.float32),
         jnp.float32(1.0),
     )
     _, _, flags = _ivf_search_chunked(
-        *args, p, k, k, 8, 32, 0.0, "Da"
+        *args, p, k, k, 8, 32, 0.0, "Da", False
     )
     assert np.asarray(flags).any(), "mass ties must trip the certificate"
 
     # End-to-end: repair must produce the oracle's score multiset and
     # no duplicate ids (tied ids are interchangeable; scores are not).
-    s_o, i_o = _ivf_search_perquery(*args, p, k, k, 0.0, "Da")
+    s_o, i_o = _ivf_search_perquery(*args, p, k, k, 0.0, "Da", False)
     ids, scores = index._search_chunked(
         jnp.asarray(queries), jnp.zeros(b, jnp.float32),
         jnp.float32(1.0), b, p, k, k, 0.0, "Da",

@@ -450,9 +450,9 @@ def test_pallas_identity_vs_perquery_tie_heavy(monkeypatch):
     if qd.shape[-1] != dp:
         qd = jnp.pad(qd, ((0, 0), (0, dp - qd.shape[-1])))
     want_s, want_ids = _ivf_search_perquery(
-        vecs_d, ids_d, prec_d, scales_d, None, cents_d,
+        vecs_d, ids_d, prec_d, scales_d, cents_d,
         qd, jnp.zeros(b, jnp.float32), jnp.float32(2.0),
-        p, k, k, 0.0, "Da",
+        p, k, k, 0.0, "Da", False,
     )
     np.testing.assert_array_equal(
         np.asarray(got_ids), np.asarray(want_ids)

@@ -132,9 +132,9 @@ def test_probe_identity_vs_perquery_tie_heavy(monkeypatch):
     if qd.shape[-1] != dp:
         qd = jnp.pad(qd, ((0, 0), (0, dp - qd.shape[-1])))
     want_s, want_ids = _ivf_search_perquery(
-        vecs_d, ids_d, prec_d, scales_d, None, cents_d,
+        vecs_d, ids_d, prec_d, scales_d, cents_d,
         qd, jnp.zeros(b, jnp.float32), jnp.float32(2.0),
-        p, k, k, 0.0, "Da",
+        p, k, k, 0.0, "Da", False,
     )
     np.testing.assert_array_equal(
         np.asarray(got_ids), np.asarray(want_ids)
@@ -174,17 +174,15 @@ def test_probe_identity_redundant_window(monkeypatch):
     )
     assert index._last_chunked_flagged == 0
     vecs_d, ids_d, prec_d, scales_d, cents_d = index.device_arrays()
-    prev_d = index._device_prev
-    assert prev_d is not None
     qd = jnp.asarray(queries, jnp.float32)
     dp = vecs_d.shape[-1]
     if qd.shape[-1] != dp:
         qd = jnp.pad(qd, ((0, 0), (0, dp - qd.shape[-1])))
     k_scan = index.redundancy * k
     want_s, want_ids = _ivf_search_perquery(
-        vecs_d, ids_d, prec_d, scales_d, prev_d, cents_d,
+        vecs_d, ids_d, prec_d, scales_d, cents_d,
         qd, jnp.asarray(q_prec, jnp.float32), jnp.float32(2.0),
-        p, k, k_scan, 50.0, "Da",
+        p, k, k_scan, 50.0, "Da", index.redundancy > 1,
     )
     np.testing.assert_array_equal(
         np.asarray(got_ids), np.asarray(want_ids)
