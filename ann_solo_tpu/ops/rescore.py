@@ -71,22 +71,31 @@ def _stage1_bounds(
     For each pair: ub = sum_i max_j score(i, j) >= the greedy total (a
     one-to-one assignment can take at most each row's maximum).
 
-    Formulation notes (round 3):
-    * A Pallas kernel computing the same bound row-by-row in VMEM
-      (never materializing the (P, K, K) f32 tensor) was built,
-      hardware-parity-verified, and MEASURED 7x SLOWER than this XLA
-      formulation at bench shapes (2.05 s vs 0.29 s per 4096x1024-pair
-      batch on v5e): the pass is VPU-bound, and the kernel's
-      (128, K_pad) row tiles use half the VPU lanes while XLA fuses the
-      dense tensor into full-width elementwise ops that hide the HBM
-      streaming.  The kernel was deleted rather than kept as dead code;
-      re-derive it from git history if needed.
-    * An argmax-distinctness "exactness" flag (distinct row argmaxes =>
-      bound IS the greedy score) used to be computed here to skip
-      greedy calls; the dense device-side stage 2 (`_stage2_dense`)
-      runs the fixed-shape greedy kernel on every selected pair more
-      cheaply than the branchy host logic the flag enabled, so the flag
-      (and its per-pair K-wide sort) is gone.
+    Formulation (round 4): the row max FACTORIZES -- with
+    score(i, j) = mult(i, j) * q_int[i] * c_int[j] and q_int >= 0,
+    max_j score(i, j) = q_int[i] * max_j(mult(i, j) * c_int[j]) -- so
+    the (P, K, K) pass never forms the q x c outer product: per shift
+    it is one broadcast compare against f32 m/z diffs, a select of the
+    (P, 1, K) multiplier-weighted candidate intensities, and a row max,
+    all fusing to (P, K) outputs with no (P, K, K) f32 materialization.
+    Measured 322 -> 303 ms per 4096 x 1024-pair batch on v5e vs the
+    previous pair_score_matrix + rowmax formulation -- XLA was already
+    fusing that well; the round-4 layout ladder also measured a
+    pair-axis-minor (K, K, P) arrangement (full 128-lane vregs instead
+    of the K=50 minor axis) at the SAME 5.6 ms/64k-pair chunk as this
+    form, so the pass is at its XLA floor, not lane-bound.  The bound
+    is inflated by (1 + 2^-20) because the factored product order
+    q*(mult*c) can round one ulp below stage 2's (mult*q)*c per term --
+    soundness of the optimality certificate costs one part in a
+    million of tightness.
+
+    Formulation notes (round 3, still binding):
+    * A Pallas kernel computing the bound row-by-row in VMEM measured
+      7x SLOWER than XLA at bench shapes (half-width lanes; XLA hides
+      the streaming).  Deleted; re-derive from git history if needed.
+    * An argmax-distinctness "exactness" flag is gone: the dense
+      device-side stage 2 runs the fixed-shape greedy on every selected
+      pair more cheaply than the branchy host logic the flag enabled.
     """
     b, c = cand_ids.shape
     k = q_mz.shape[1]
@@ -102,15 +111,32 @@ def _stage1_bounds(
             q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
             rows, safe,
         )
-        charge = jnp.full(
-            rows.shape, num_shifts - 1 if allow_shift else 1, jnp.int32
-        )
-        mat = pair_score_matrix(
-            qm, qi, cm, ci, ca, qp, cp, charge,
-            fragment_mz_tolerance, num_shifts, allow_shift,
-        )  # (P, K, K)
-        rowmax = jnp.max(mat, axis=2)  # (P, K)
-        ub = jnp.sum(rowmax, axis=1)
+        tol = jnp.float32(fragment_mz_tolerance)
+        chg = jnp.float32(num_shifts - 1 if allow_shift else 1)
+        prec_diff = (qp - cp) * chg  # (P,)
+        diff0 = qm[:, :, None] - cm[:, None, :]  # (P, K, K), fused
+        # Direct matches: multiplier 1 (pair_score_matrix shift 0).
+        vmax = jnp.max(
+            jnp.where(jnp.abs(diff0) <= tol, ci[:, None, :], 0.0),
+            axis=2,
+        )  # (P, K)
+        if allow_shift and num_shifts > 1:
+            shifted = jnp.abs(prec_diff) >= tol  # (P,)
+            # Annotation rule (SpectrumMatch.cpp:57-83): ann == s -> 1,
+            # unannotated -> 2/3, else 0.  s <= charge holds statically
+            # (s < num_shifts = charge + 1).
+            for s in range(1, num_shifts):
+                mult = jnp.where(
+                    ca == s, 1.0, jnp.where(ca == 0, 2.0 / 3.0, 0.0)
+                )
+                cterm = (mult * ci)[:, None, :]  # (P, 1, K)
+                offset = (prec_diff / jnp.float32(s))[:, None, None]
+                within = jnp.abs(diff0 - offset) <= tol
+                within &= shifted[:, None, None]
+                vmax = jnp.maximum(
+                    vmax, jnp.max(jnp.where(within, cterm, 0.0), axis=2)
+                )
+        ub = jnp.sum(qi * vmax, axis=1) * jnp.float32(1 + 2.0 ** -20)
         ub = jnp.where(valid, ub, -jnp.inf)
         return ub.reshape(ids_chunk.shape)
 
