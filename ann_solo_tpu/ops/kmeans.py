@@ -30,10 +30,16 @@ def _kmeans_fit(
 ):
     """Blocked spherical k-means: nothing (N, L)-shaped is ever
     materialized, so training scales to millions of rows -- the (B, L)
-    score block and the (L, D) partial sums are the only transients."""
+    score block and the (L, D) partial sums are the only transients.
+
+    Blocks are cut with `dynamic_slice` on the 2D source, NOT a
+    (n_blocks, B, D) reshape: with TPU tiled layouts XLA materializes
+    that reshape as a loop-carried COPY of the whole training block
+    (measured: a 2M x 800 f32 fit held 2 x 6.4 GB and OOMed the 4M-row
+    streaming build's training step)."""
     n_pad, d = vectors_padded.shape
     l = init_centroids.shape[0]
-    blocks = vectors_padded.reshape(n_pad // _BLOCK, _BLOCK, d)
+    starts = jnp.arange(0, n_pad, _BLOCK, dtype=jnp.int32)
     cluster_iota = jnp.arange(l, dtype=jnp.int32)[None, :]
 
     def assign_block(vec_block, centroids):
@@ -43,8 +49,11 @@ def _kmeans_fit(
         return jnp.argmax(scores, axis=1).astype(jnp.int32)
 
     def step(_, centroids):
-        def body(carry, vec_block):
+        def body(carry, start):
             sums, counts = carry
+            vec_block = jax.lax.dynamic_slice_in_dim(
+                vectors_padded, start, _BLOCK
+            )
             ids = assign_block(vec_block, centroids)
             # Zero-padded rows contribute nothing (row-norm mask).
             w = (
@@ -65,7 +74,7 @@ def _kmeans_fit(
         (sums, counts), _ = jax.lax.scan(
             body,
             (jnp.zeros((l, d), jnp.float32), jnp.zeros((l,), jnp.float32)),
-            blocks,
+            starts,
         )
         counts = counts[:, None]
         new_centroids = sums / jnp.maximum(counts, 1.0)
@@ -76,10 +85,13 @@ def _kmeans_fit(
 
     centroids = jax.lax.fori_loop(0, n_iter, step, init_centroids)
 
-    def final_assign(carry, vec_block):
+    def final_assign(carry, start):
+        vec_block = jax.lax.dynamic_slice_in_dim(
+            vectors_padded, start, _BLOCK
+        )
         return carry, assign_block(vec_block, centroids)
 
-    _, assignments = jax.lax.scan(final_assign, 0, blocks)
+    _, assignments = jax.lax.scan(final_assign, 0, starts)
     return centroids, assignments.reshape(-1)
 
 
