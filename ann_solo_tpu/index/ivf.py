@@ -74,6 +74,13 @@ _TILE_LIST_SLACK = 4  # tile scans up to slack * num_probe voted lists
 _FILL_SLACK = 1.5  # list capacity = slack * mean list size
 _N_CHOICES = 4  # spill candidates per vector (nearest centroids)
 _TRAIN_POINTS_PER_CENTROID = 256  # FAISS subsampling rule
+# load_or_build switches to the host-streaming build when the f32
+# source block alone would exceed this (the resident build must hold
+# source + packed blocks together; a 16 GB chip OOMs near 4M rows --
+# SCALE_r04).  Env-overridable for tests and small-HBM devices.
+_STREAM_BUILD_SOURCE_BYTES = int(
+    os.environ.get("ANN_SOLO_TPU_STREAM_BUILD_BYTES", 4 << 30)
+)
 
 
 def _next_pow2(n: int) -> int:
@@ -152,6 +159,40 @@ def _fill_lists(
             .add(1)[:num_list]
         )
     return placed_list, placed_pos, used
+
+
+@partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0, 1))
+def _pack_group(
+    packed,  # (L, cap, D) storage block (donated)
+    scales,  # (L, cap) f32 dequant scales (donated)
+    src,  # (group_lists * cap, D) source rows (any float dtype)
+    fill,  # (group_lists * cap,) f32 1.0 = real row, 0.0 = empty slot
+    g0,  # () int32 first list of the group
+    group_lists: int,
+    cap: int,
+):
+    """Quantize one list-group and write it into the donated block
+    (`build_streaming` step 4).  Quantization is bit-identical to
+    `_pack_lists.pack_chunk` (SQ8: per-row scale = max|v| / 127)."""
+    d = packed.shape[-1]
+    g = jnp.where(
+        fill[:, None] > 0, src.astype(jnp.float32), 0.0
+    )
+    if packed.dtype == jnp.int8:
+        scale = jnp.max(jnp.abs(g), axis=1) / 127.0
+        q = jnp.round(
+            g / jnp.maximum(scale, 1e-30)[:, None]
+        ).astype(jnp.int8)
+    else:
+        scale = jnp.ones(g.shape[0], jnp.float32)
+        q = g.astype(packed.dtype)
+    packed = jax.lax.dynamic_update_slice(
+        packed, q.reshape(group_lists, cap, d), (g0, 0, 0)
+    )
+    scales = jax.lax.dynamic_update_slice(
+        scales, scale.reshape(group_lists, cap), (g0, 0)
+    )
+    return packed, scales
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
@@ -397,6 +438,96 @@ def soar_round_choices(vectors, centroids, choices, r_eff, soar_lambda):
         vectors, centroids, choices, float(soar_lambda)
     )
     return [second] + [None] * (r_eff - 2) if r_eff > 2 else [second]
+
+
+def plan_assignments_device(
+    choices, num_list: int, cap: int, r_eff: int, round_choices=None
+):
+    """Device-resident balanced placement: `plan_assignments` without
+    the (N,)-sized host round trips.
+
+    Same rounds/masking/fallback semantics (and byte-identical
+    placement -- pinned by tests/test_streaming_build.py), but the
+    result is the DEVICE slot->row table ``ids_flat`` ((L * cap,)
+    int32, -1 = empty slot) that `_pack_lists` builds internally,
+    rather than host (flat_slot, row_ids) arrays.  Only two scalars
+    cross the host boundary per build (unplaced-primary count, spill
+    count); the rare all-choices-full fallback (which needs host list
+    surgery) downloads its (N,) arrays only when the count is nonzero.
+    This is what lets `build_streaming` plan multi-million-row indexes
+    over a thin host link.
+
+    Returns (ids_flat (L * cap,) int32 device, spilled: int).
+    """
+    ch = jnp.asarray(choices)
+    n = ch.shape[0]
+    primary = ch[:, 0]
+    used = jnp.zeros((num_list,), jnp.int32)
+    total = num_list * cap
+    ids_flat = jnp.full((total,), -1, jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    placed_rounds = []
+    spilled = 0
+    for r in range(r_eff):
+        if (
+            r >= 1
+            and round_choices is not None
+            and round_choices[r - 1] is not None
+        ):
+            override = jnp.asarray(round_choices[r - 1])
+            for placed in placed_rounds:
+                override = jnp.where(
+                    override == placed[:, None], num_list, override
+                )
+            ch = override
+        placed_list, placed_pos, used = _fill_lists(
+            ch, used, num_list, cap
+        )
+        if r == 0:
+            n_unplaced = int(jnp.sum(placed_list < 0))
+            if n_unplaced:
+                # All A choices full: host fallback places primaries
+                # into any free slots (rare; the only (N,) download).
+                pl = np.array(placed_list)
+                pp = np.array(placed_pos)
+                used_np = np.asarray(used).copy()
+                unplaced = np.nonzero(pl < 0)[0]
+                order = np.argsort(used_np)
+                free_slots = []
+                for list_id in order:
+                    free_slots.extend(
+                        (list_id, pos)
+                        for pos in range(used_np[list_id], cap)
+                    )
+                    if len(free_slots) >= len(unplaced):
+                        break
+                if len(free_slots) < len(unplaced):
+                    raise RuntimeError(
+                        "IVF capacity exhausted; raise _FILL_SLACK"
+                    )
+                for row, (list_id, pos) in zip(unplaced, free_slots):
+                    pl[row] = list_id
+                    pp[row] = pos
+                    used_np[list_id] += 1
+                placed_list = jnp.asarray(pl)
+                placed_pos = jnp.asarray(pp)
+                used = jnp.asarray(used_np)
+                logger.debug(
+                    "IVF spill fallback placed %d vectors", n_unplaced
+                )
+            spilled = int(jnp.sum(placed_list != primary))
+        flat = jnp.where(
+            placed_list >= 0,
+            placed_list * cap + placed_pos,
+            total,
+        )
+        ids_flat = ids_flat.at[flat].set(iota, mode="drop")
+        placed_rounds.append(placed_list)
+        if r + 1 < r_eff:
+            ch = jnp.where(
+                ch == placed_list[:, None], num_list, ch
+            )
+    return ids_flat, spilled
 
 
 # --------------------------------------------------------------------- #
@@ -1359,11 +1490,14 @@ class IvfIndex:
         redundant copies (unique-id denominator)."""
         ids = np.asarray(self.padded_ids)
         n = len(np.unique(ids[ids >= 0]))
+        # .nbytes comes from shape * itemsize on BOTH numpy and jax
+        # arrays -- never materialize the packed block on host for it
+        # (a 4M-row block is ~5 GB across this tunnel).
         total = (
-            np.asarray(self.padded_vectors).nbytes
-            + np.asarray(self.padded_ids).nbytes
-            + np.asarray(self.padded_prec).nbytes
-            + np.asarray(self.padded_scales).nbytes
+            self.padded_vectors.nbytes
+            + self.padded_ids.nbytes
+            + self.padded_prec.nbytes
+            + self.padded_scales.nbytes
         )
         return total / max(n, 1)
 
@@ -1490,6 +1624,161 @@ class IvfIndex:
         )
 
     @classmethod
+    def build_streaming(
+        cls,
+        get_rows,
+        n: int,
+        d: int,
+        config,
+        precursor_mz=None,
+        seed: int = 42,
+        storage_dtype=np.int8,
+        redundancy: Optional[int] = None,
+        centroids=None,
+        group_bytes: int = 1 << 30,
+        train_rows_cap: int = 1 << 21,
+    ) -> "IvfIndex":
+        """Build without ever holding the full source block on device.
+
+        `build` needs source vectors + packed lists resident together,
+        which caps a 16 GB chip's BUILD size (~2-3M rows bf16+int8) far
+        below its ~12M-row int8 SERVING capacity (SCALE_r04).  This
+        path bounds peak device memory to the packed (L, cap, D) block
+        plus ONE list-group's source rows plus the training subsample:
+
+        1. train the coarse quantizer on a `get_rows` subsample
+           (capped at `train_rows_cap` rows),
+        2. assign choices block-by-block (choices stay on device),
+        3. plan balanced capped lists on device
+           (`plan_assignments_device` -- no (N,)-sized host round
+           trips),
+        4. pack list GROUPS: slice the slot->row table, re-fetch just
+           those source rows, quantize, and write into donated
+           preallocated device buffers (`_pack_group`).
+
+        `get_rows(row_indices (M,) int32) -> (M, d)` returns source
+        rows for arbitrary indices; indices may contain -1 (empty
+        slots), whose rows may hold anything -- the packer masks them.
+        For a host array use `lambda idx: jnp.asarray(
+        src[np.clip(np.asarray(idx), 0, n - 1)])`; at SCALE the demo
+        generates rows on device from the index (scale_demo.py).
+
+        Placement and quantization are byte-identical to `build` given
+        the same seed whenever the training subsample cap does not bind
+        (tests/test_streaming_build.py).  Reference analog: FAISS
+        train/add, spectral_library.py:163-181 -- which streams `add`
+        batches through a resident index the same way.
+        """
+        num_list = resolve_num_list(int(config.num_list), n)
+        if redundancy is None:
+            try:
+                redundancy = int(config.ivf_redundancy)
+            except (KeyError, AttributeError):
+                redundancy = 2
+        soar_lambda = resolve_soar_lambda(config)
+        r_eff, cap, n_choices = ivf_build_params(
+            n, num_list, redundancy, soar_lambda
+        )
+        logger.info(
+            "Streaming IVF build: %d vectors, %d lists (cap %d, x%d)",
+            n, num_list, cap, r_eff,
+        )
+        from ann_solo_tpu.ops.kmeans import (
+            assign_topk_blocked,
+            spherical_kmeans,
+        )
+
+        # 1. Train on a subsample fetched through get_rows (same rows
+        # as `build`'s FAISS-style subsample when the cap is loose).
+        if centroids is None:
+            sub_cap = min(
+                n, num_list * _TRAIN_POINTS_PER_CENTROID, train_rows_cap
+            )
+            if sub_cap < n:
+                sub_idx = np.sort(
+                    np.random.RandomState(seed + 1).choice(
+                        n, size=sub_cap, replace=False
+                    )
+                ).astype(np.int32)
+            else:
+                sub_idx = np.arange(n, dtype=np.int32)
+            sub = get_rows(jnp.asarray(sub_idx))
+            centroids, _ = spherical_kmeans(sub, num_list, seed=seed)
+            del sub
+        centroids = jnp.asarray(centroids, jnp.float32)
+
+        # 2. Blockwise choice assignment; choices stay device-resident.
+        blk = 1 << 18
+        ch_parts, soar_parts = [], []
+        for start in range(0, n, blk):
+            idx = jnp.arange(
+                start, min(start + blk, n), dtype=jnp.int32
+            )
+            rows = get_rows(idx)
+            ch = assign_topk_blocked(rows, centroids, n_choices)
+            ch_parts.append(ch)
+            rc = soar_round_choices(
+                rows, centroids, ch, r_eff, soar_lambda
+            )
+            if rc is not None:
+                soar_parts.append(rc[0])
+            del rows
+        choices = jnp.concatenate(ch_parts)
+        del ch_parts
+        round_choices = None
+        if soar_parts:
+            round_choices = [jnp.concatenate(soar_parts)] + [None] * (
+                r_eff - 2
+            )
+            del soar_parts
+
+        # 3. Balanced capped placement, device-resident.
+        ids_flat, spilled = plan_assignments_device(
+            choices, num_list, cap, r_eff, round_choices=round_choices
+        )
+        del choices, round_choices
+        logger.debug(
+            "IVF lists: cap=%d fill=%.2f spilled=%d (%.2f%%)",
+            cap, r_eff * n / (num_list * cap), spilled,
+            100.0 * spilled / max(n, 1),
+        )
+
+        # 4. Pack list groups into donated preallocated buffers.
+        dt = jnp.dtype(storage_dtype)
+        group_lists = max(
+            1, int(group_bytes // (cap * d * (4 + dt.itemsize)))
+        )
+        while num_list % group_lists:
+            group_lists -= 1
+        packed = jnp.zeros((num_list, cap, d), dt)
+        scales = jnp.ones((num_list, cap), jnp.float32)
+        ids2 = ids_flat.reshape(num_list, cap)
+        for g0 in range(0, num_list, group_lists):
+            idx = ids2[g0 : g0 + group_lists].reshape(-1)
+            fill = (idx >= 0).astype(jnp.float32)
+            src = get_rows(idx)
+            packed, scales = _pack_group(
+                packed, scales, src, fill, jnp.int32(g0),
+                group_lists, cap,
+            )
+            del src
+        ids_host = np.asarray(ids2)
+        if precursor_mz is not None:
+            prec_np = np.asarray(precursor_mz, np.float32)
+            padded_prec = np.where(
+                ids_host >= 0,
+                prec_np[np.clip(ids_host, 0, n - 1)],
+                0.0,
+            ).astype(np.float32)
+        else:
+            padded_prec = np.zeros((num_list, cap), np.float32)
+        return cls(
+            np.asarray(centroids), packed, jnp.asarray(ids_host),
+            int(config.num_probe), jnp.asarray(padded_prec), scales,
+            redundancy=r_eff,
+        )
+
+    @classmethod
     def load_or_build(
         cls, filename: str, lib, config, store_fp: Optional[str] = None
     ) -> "IvfIndex":
@@ -1530,18 +1819,6 @@ class IvfIndex:
 
         vparams = VectorizeParams.from_config(config)
         tables = vparams.device_tables()
-        chunks = []
-        step = 8192
-        for start in range(0, lib.n_spectra, step):
-            stop = min(start + step, lib.n_spectra)
-            chunks.append(
-                vectorize_batch(
-                    vparams, tables,
-                    lib.mz[start:stop], lib.intensity[start:stop],
-                    lib.n_peaks[start:stop],
-                )
-            )
-        vectors = jnp.concatenate(chunks, axis=0)
         dtype_by_name = {
             "bf16": ml_dtypes.bfloat16,
             "f32": np.float32,
@@ -1551,11 +1828,45 @@ class IvfIndex:
             dtype_name = str(config.index_dtype)
         except (KeyError, AttributeError):  # config without the TPU knob
             dtype_name = "bf16"
-        index = cls.build(
-            vectors, config,
-            precursor_mz=np.asarray(lib.precursor_mz, np.float32),
-            storage_dtype=dtype_by_name[dtype_name],
-        )
+        n, d = int(lib.n_spectra), int(vparams.hash_len)
+        prec = np.asarray(lib.precursor_mz, np.float32)
+        if n * d * 4 > _STREAM_BUILD_SOURCE_BYTES:
+            # Host-streaming build: re-vectorize requested library rows
+            # on demand instead of materializing the (n, d) f32 source
+            # block on device (peak blocks live on host; vectorization
+            # is deterministic, so the index is byte-identical to the
+            # resident build -- tests/test_streaming_build.py).
+            mz, intensity = lib.mz, lib.intensity
+            n_peaks = lib.n_peaks
+
+            def get_rows(idx):
+                host = np.clip(np.asarray(idx), 0, n - 1)
+                return vectorize_batch(
+                    vparams, tables,
+                    mz[host], intensity[host], n_peaks[host],
+                )
+
+            index = cls.build_streaming(
+                get_rows, n, d, config, precursor_mz=prec,
+                storage_dtype=dtype_by_name[dtype_name],
+            )
+        else:
+            chunks = []
+            step = 8192
+            for start in range(0, n, step):
+                stop = min(start + step, n)
+                chunks.append(
+                    vectorize_batch(
+                        vparams, tables,
+                        lib.mz[start:stop], lib.intensity[start:stop],
+                        lib.n_peaks[start:stop],
+                    )
+                )
+            vectors = jnp.concatenate(chunks, axis=0)
+            index = cls.build(
+                vectors, config, precursor_mz=prec,
+                storage_dtype=dtype_by_name[dtype_name],
+            )
         index.store_fp = store_fp
         index.save(filename)
         return index

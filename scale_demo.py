@@ -175,6 +175,12 @@ def main():
     parser.add_argument("--n-queries", type=int, default=1024)
     parser.add_argument("--out", default="SCALE.json")
     parser.add_argument(
+        "--streaming", action="store_true",
+        help="single-chip build via IvfIndex.build_streaming: rows are "
+        "generated/fetched on demand, so the build works past the "
+        "resident build's source-block memory wall (use for n >= 4M)",
+    )
+    parser.add_argument(
         "--sharded", action="store_true",
         help="born-sharded build demo on the virtual CPU mesh "
         "(set JAX_PLATFORMS=cpu + xla_force_host_platform_device_count)",
@@ -215,59 +221,116 @@ def main():
         def __getitem__(self, key):
             return getattr(self, key)
 
-    # Unit vectors generated ON DEVICE in bounded f32 chunks (the host
-    # has one CPU core and the tunnel uploads at ~10 MB/s: host
-    # generation + upload of the 3.4 GB block measured 10+ minutes vs
-    # seconds here; bf16 storage halves the HBM footprint).
-    t0 = time.perf_counter()
     import jax.random as jrandom
 
     # rbg PRNG: the default threefry measured 803 s for this block on
     # the tunneled v5e; rbg generates it in seconds.
     key = jrandom.key(7, impl="rbg")
-    chunk = 1 << 18
-    parts = []
-    for i in range(-(-n // chunk)):
-        rows = min(chunk, n - i * chunk)
-        sub = jrandom.normal(
-            jrandom.fold_in(key, i), (rows, D), jnp.float32
-        )
-        sub = sub / jnp.linalg.norm(sub, axis=1, keepdims=True)
-        parts.append(sub.astype(jnp.bfloat16))
-    vectors_d = jnp.concatenate(parts)
-    del parts
-    np.asarray(vectors_d[:1, :1])  # real sync
-    log(
-        f"device-generated {vectors_d.nbytes / 1e9:.1f} GB bf16: "
-        f"{time.perf_counter() - t0:.1f}s"
-    )
-
-    # Queries: noised copies of library rows (made BEFORE the build so
-    # the source block can be freed right after packing).
     b = args.n_queries
     query_rows = rng.choice(n, b, replace=False)
-    qsrc = vectors_d[jnp.asarray(query_rows)].astype(jnp.float32)
-    qn = qsrc + 0.02 * jrandom.normal(
-        jrandom.fold_in(key, 1 << 20), (b, D), jnp.float32
-    )
-    qn = qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
-    queries = np.asarray(qn)
-    q_prec = prec[query_rows]
 
-    t0 = time.perf_counter()
-    index = IvfIndex.build(
-        vectors_d, Cfg(), precursor_mz=prec, storage_dtype=np.int8
-    )
-    np.asarray(index.padded_vectors[-1, -1:])  # real sync (block_until_ready is a no-op on tunneled backends)
-    t_build = time.perf_counter() - t0
-    log(
-        f"int8 IVF build ({args.num_list} lists): {t_build:.1f}s "
-        f"({n / t_build:.0f} vectors/sec incl. one-time compiles), "
-        f"{index.bytes_per_vector:.0f} B/vector"
-    )
+    if args.streaming:
+        # Rows generated ON DEVICE per index: `build_streaming` fetches
+        # each row at most n_choices+2 times (train subsample, one
+        # assignment pass, one pack gather per stored copy), so the
+        # full source block never exists -- peak device memory is the
+        # packed int8 block + ONE list group's rows.  This is the
+        # regime where the resident `build` OOMs (a 4M-row bf16 source
+        # + its packed block exceed 16 GB together, SCALE_r04).
+        # Rows come from a murmur3-finalizer hash + Box-Muller, NOT a
+        # per-row PRNG key: rbg fold_in is not vmap-consistent
+        # (measured: the same row index yields different values at
+        # different batch offsets -- self-match went to 0.000), and
+        # per-row threefry is ~100x slower on this backend.  The hash
+        # is a pure function of (row, column), so any fetch order
+        # returns identical rows.
+        @jax.jit
+        def gen_rows(idx):
+            idx = jnp.clip(idx, 0, n - 1).astype(jnp.uint32)
+            cols = jnp.arange(D, dtype=jnp.uint32)
 
-    # Free the source block before searching.
-    vectors_d.delete()
+            def fmix(x):  # murmur3 32-bit avalanche
+                x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+                x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+                return x ^ (x >> 16)
+
+            h1 = fmix(fmix(idx)[:, None] ^ cols)
+            h2 = fmix(h1 ^ jnp.uint32(0x9E3779B9))
+            u1 = (h1.astype(jnp.float32) + 0.5) / 4294967296.0
+            u2 = (h2.astype(jnp.float32) + 0.5) / 4294967296.0
+            sub = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+                2.0 * jnp.pi * u2
+            )
+            return sub / jnp.linalg.norm(sub, axis=1, keepdims=True)
+
+        qsrc = gen_rows(jnp.asarray(query_rows, jnp.int32))
+        qn = qsrc + 0.02 * jrandom.normal(
+            jrandom.fold_in(key, n), (b, D), jnp.float32
+        )
+        qn = qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
+        queries = np.asarray(qn)
+        q_prec = prec[query_rows]
+
+        t0 = time.perf_counter()
+        index = IvfIndex.build_streaming(
+            gen_rows, n, D, Cfg(), precursor_mz=prec,
+            storage_dtype=np.int8,
+        )
+        np.asarray(index.padded_vectors[-1, -1:])  # real sync
+        t_build = time.perf_counter() - t0
+        log(
+            f"STREAMING int8 IVF build ({index.num_list} lists): "
+            f"{t_build:.1f}s ({n / t_build:.0f} vectors/sec incl. "
+            f"one-time compiles), {index.bytes_per_vector:.0f} B/vector"
+        )
+    else:
+        # Unit vectors generated ON DEVICE in bounded f32 chunks (the
+        # host has one CPU core and the tunnel uploads at ~10 MB/s:
+        # host generation + upload of the 3.4 GB block measured 10+
+        # minutes vs seconds here; bf16 storage halves the HBM
+        # footprint).
+        t0 = time.perf_counter()
+        chunk = 1 << 18
+        parts = []
+        for i in range(-(-n // chunk)):
+            rows = min(chunk, n - i * chunk)
+            sub = jrandom.normal(
+                jrandom.fold_in(key, i), (rows, D), jnp.float32
+            )
+            sub = sub / jnp.linalg.norm(sub, axis=1, keepdims=True)
+            parts.append(sub.astype(jnp.bfloat16))
+        vectors_d = jnp.concatenate(parts)
+        del parts
+        np.asarray(vectors_d[:1, :1])  # real sync
+        log(
+            f"device-generated {vectors_d.nbytes / 1e9:.1f} GB bf16: "
+            f"{time.perf_counter() - t0:.1f}s"
+        )
+
+        # Queries: noised copies of library rows (made BEFORE the build
+        # so the source block can be freed right after packing).
+        qsrc = vectors_d[jnp.asarray(query_rows)].astype(jnp.float32)
+        qn = qsrc + 0.02 * jrandom.normal(
+            jrandom.fold_in(key, 1 << 20), (b, D), jnp.float32
+        )
+        qn = qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
+        queries = np.asarray(qn)
+        q_prec = prec[query_rows]
+
+        t0 = time.perf_counter()
+        index = IvfIndex.build(
+            vectors_d, Cfg(), precursor_mz=prec, storage_dtype=np.int8
+        )
+        np.asarray(index.padded_vectors[-1, -1:])  # real sync (block_until_ready is a no-op on tunneled backends)
+        t_build = time.perf_counter() - t0
+        log(
+            f"int8 IVF build ({args.num_list} lists): {t_build:.1f}s "
+            f"({n / t_build:.0f} vectors/sec incl. one-time compiles), "
+            f"{index.bytes_per_vector:.0f} B/vector"
+        )
+
+        # Free the source block before searching.
+        vectors_d.delete()
 
     # The production select path: `search_device` returns DEVICE
     # arrays that chain straight into the device-side rescoring stage
@@ -319,10 +382,12 @@ def main():
 
     per_chip_int8 = int(10e9 / (D + 6))  # ~16 GB HBM, leave scan headroom
     result = {
-        "metric": f"{n / 1e6:.1f}M-vector int8 IVF on one v5e chip",
+        "metric": f"{n / 1e6:.1f}M-vector int8 IVF on one v5e chip"
+        + (" (host-streaming build)" if args.streaming else ""),
+        "streaming_build": bool(args.streaming),
         "n_vectors": n,
         "dims": D,
-        "num_list": args.num_list,
+        "num_list": index.num_list,
         "num_probe": args.num_probe,
         "redundancy": args.redundancy,
         "build_sec": round(t_build, 1),

@@ -1,0 +1,176 @@
+"""`IvfIndex.build_streaming` == `IvfIndex.build` identity.
+
+The streaming path (host-streamed rows, device-resident planning,
+grouped quantize-and-pack into donated buffers) must produce
+byte-identical indexes to the resident build given the same seed —
+centroids, list placement, quantized storage, scales, and precursor
+table — including when the FAISS-style training subsample binds and
+when the pack runs in many small groups.  Reference analog: FAISS
+train/add streaming, spectral_library.py:163-181.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ann_solo_tpu.index.ivf import IvfIndex
+
+
+class IvfConfig:
+    def __init__(self, num_list=16, num_probe=8):
+        self._values = {"num_list": num_list, "num_probe": num_probe}
+
+    def __getattr__(self, key):
+        return self._values[key]
+
+    def __getitem__(self, key):
+        return self._values[key]
+
+
+def _vectors(rng, n=4000, d=64, n_clusters=16):
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assignment = rng.integers(0, n_clusters, n)
+    vectors = centers[assignment] + 0.3 * rng.normal(size=(n, d)).astype(
+        np.float32
+    )
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    return vectors.astype(np.float32)
+
+
+def _get_rows(vectors):
+    n = vectors.shape[0]
+
+    def get_rows(idx):
+        host = np.clip(np.asarray(idx), 0, n - 1)
+        return jnp.asarray(vectors[host])
+
+    return get_rows
+
+
+def _assert_identical(a: IvfIndex, b: IvfIndex):
+    assert a.redundancy == b.redundancy
+    np.testing.assert_array_equal(
+        np.asarray(a.centroids), np.asarray(b.centroids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.padded_ids), np.asarray(b.padded_ids)
+    )
+    av = np.asarray(a.padded_vectors)
+    bv = np.asarray(b.padded_vectors)
+    assert av.dtype == bv.dtype
+    np.testing.assert_array_equal(
+        av.view(np.uint8), bv.view(np.uint8)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.padded_scales), np.asarray(b.padded_scales)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.padded_prec), np.asarray(b.padded_prec)
+    )
+
+
+@pytest.mark.parametrize("storage_dtype", ["int8", "bfloat16"])
+def test_streaming_matches_resident(storage_dtype):
+    """Byte-identical placement + quantization, int8 and bf16, with
+    the pack forced through many small list groups."""
+    import ml_dtypes
+
+    dt = np.int8 if storage_dtype == "int8" else ml_dtypes.bfloat16
+    rng = np.random.default_rng(11)
+    vectors = _vectors(rng, n=4000, d=64)
+    prec = rng.uniform(300.0, 1800.0, size=4000).astype(np.float32)
+    config = IvfConfig(num_list=16, num_probe=8)
+    resident = IvfIndex.build(
+        vectors, config, precursor_mz=prec, seed=7, storage_dtype=dt
+    )
+    streamed = IvfIndex.build_streaming(
+        _get_rows(vectors),
+        4000,
+        64,
+        config,
+        precursor_mz=prec,
+        seed=7,
+        storage_dtype=dt,
+        group_bytes=1 << 18,  # a few lists per group
+    )
+    _assert_identical(resident, streamed)
+
+
+def test_streaming_matches_when_train_subsample_binds():
+    """num_list * 256 < n: both paths draw the SAME FAISS-style
+    training subsample (identical rng stream), so identity holds even
+    when the cap binds."""
+    rng = np.random.default_rng(5)
+    vectors = _vectors(rng, n=3000, d=48, n_clusters=8)
+    config = IvfConfig(num_list=8, num_probe=4)
+    assert 8 * 256 < 3000  # the subsample cap binds
+    resident = IvfIndex.build(
+        vectors, config, seed=3, storage_dtype=np.int8
+    )
+    streamed = IvfIndex.build_streaming(
+        _get_rows(vectors), 3000, 48, config, seed=3,
+        storage_dtype=np.int8,
+    )
+    _assert_identical(resident, streamed)
+
+
+def test_load_or_build_streaming_dispatch(tmp_path, monkeypatch):
+    """Past the source-block memory threshold, load_or_build takes the
+    host-streaming path (on-demand re-vectorization) and produces the
+    SAME index as the resident build: vectorization is deterministic,
+    so placement identity reduces to the ivf-level identity above."""
+    from ann_solo_tpu.index import ivf as ivf_mod
+
+    rng = np.random.default_rng(9)
+    n, p = 600, 12
+
+    class Lib:
+        mz = np.sort(
+            rng.uniform(100, 1500, (n, p)).astype(np.float32), 1
+        )
+        intensity = np.abs(rng.standard_normal((n, p))).astype(
+            np.float32
+        )
+        n_peaks = np.full(n, p, np.int32)
+        precursor_mz = rng.uniform(400, 1200, n).astype(np.float64)
+        n_spectra = n
+
+    class Cfg:
+        num_list = 8
+        num_probe = 4
+        index_dtype = "int8"
+        ivf_redundancy = 2
+        min_mz, max_mz, bin_size, hash_len = 11.0, 2010.0, 0.04, 64
+        scaling = "rank"
+
+        def __getitem__(self, key):
+            return getattr(self, key)
+
+    resident = IvfIndex.load_or_build(
+        str(tmp_path / "resident.ivf.h5"), Lib(), Cfg(), store_fp="fp"
+    )
+    monkeypatch.setattr(ivf_mod, "_STREAM_BUILD_SOURCE_BYTES", 1)
+    streamed = IvfIndex.load_or_build(
+        str(tmp_path / "streamed.ivf.h5"), Lib(), Cfg(), store_fp="fp"
+    )
+    _assert_identical(resident, streamed)
+
+
+def test_streaming_search_matches_oracle():
+    """End to end: the streamed index answers queries identically to
+    the resident build (same scores, same ids)."""
+    rng = np.random.default_rng(2)
+    vectors = _vectors(rng, n=2500, d=64)
+    config = IvfConfig(num_list=16, num_probe=16)
+    resident = IvfIndex.build(
+        vectors, config, seed=1, storage_dtype=np.int8
+    )
+    streamed = IvfIndex.build_streaming(
+        _get_rows(vectors), 2500, 64, config, seed=1,
+        storage_dtype=np.int8,
+    )
+    queries = vectors[rng.integers(0, 2500, 64)]
+    ids_a = resident.search(queries, k=10)
+    ids_b = streamed.search(queries, k=10)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
