@@ -173,8 +173,13 @@ def _pack_group(
 ):
     """Quantize one list-group and write it into the donated block
     (`build_streaming` step 4).  Quantization is bit-identical to
-    `_pack_lists.pack_chunk` (SQ8: per-row scale = max|v| / 127)."""
-    d = packed.shape[-1]
+    `_pack_lists.pack_chunk` (SQ8: per-row scale = max|v| / 127).
+
+    The block may be wider than the source rows (lane-padded to a
+    multiple of 128 for chunked-regime indexes -- see
+    `build_streaming`); the update writes only the real columns and the
+    padding stays zero, so every inner product is unchanged."""
+    d = src.shape[-1]
     g = jnp.where(
         fill[:, None] > 0, src.astype(jnp.float32), 0.0
     )
@@ -1518,15 +1523,26 @@ class IvfIndex:
         return d
 
     def device_arrays(self):
-        """Index blocks resident on the default device (uploaded once)."""
+        """Index blocks resident on the default device (uploaded once).
+
+        Vectors and centroids pad to `device_dim` independently: a
+        streaming-built chunked-regime block arrives already
+        lane-padded (its centroids do not), and padding the block here
+        would allocate a second full-size copy -- at 8M+ rows that
+        alone doubles the index's HBM footprint past the chip
+        (SCALE 8M OOM, round 4)."""
         if self._device is None:
-            d = self.padded_vectors.shape[-1]
             dp = self.device_dim
             vecs = jnp.asarray(self.padded_vectors)
             cents = jnp.asarray(self.centroids, jnp.float32)
-            if dp != d:
-                vecs = jnp.pad(vecs, ((0, 0), (0, 0), (0, dp - d)))
-                cents = jnp.pad(cents, ((0, 0), (0, dp - d)))
+            if vecs.shape[-1] != dp:
+                vecs = jnp.pad(
+                    vecs, ((0, 0), (0, 0), (0, dp - vecs.shape[-1]))
+                )
+            if cents.shape[-1] != dp:
+                cents = jnp.pad(
+                    cents, ((0, 0), (0, dp - cents.shape[-1]))
+                )
             self._device = (
                 vecs,
                 jnp.asarray(self.padded_ids),
@@ -1744,13 +1760,21 @@ class IvfIndex:
         )
 
         # 4. Pack list groups into donated preallocated buffers.
+        # Chunked-regime indexes allocate the block already lane-padded
+        # (multiple of 128): TPU tiling pads the minor dim physically
+        # either way, so the wide block costs no extra HBM -- while a
+        # serving-time jnp.pad in device_arrays would materialize a
+        # SECOND full-size copy (21 GB peak at 8M rows: OOM).
         dt = jnp.dtype(storage_dtype)
+        d_store = d
+        if num_list * cap * 4 * _TILE_Q > _FULLSCAN_TRANSIENT:
+            d_store = -(-d // 128) * 128
         group_lists = max(
             1, int(group_bytes // (cap * d * (4 + dt.itemsize)))
         )
         while num_list % group_lists:
             group_lists -= 1
-        packed = jnp.zeros((num_list, cap, d), dt)
+        packed = jnp.zeros((num_list, cap, d_store), dt)
         scales = jnp.ones((num_list, cap), jnp.float32)
         ids2 = ids_flat.reshape(num_list, cap)
         for g0 in range(0, num_list, group_lists):

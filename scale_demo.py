@@ -380,7 +380,11 @@ def main():
         f"certificate repairs {flagged}/{b}"
     )
 
-    per_chip_int8 = int(10e9 / (D + 6))  # ~16 GB HBM, leave scan headroom
+    # Capacity from the MEASURED physical bytes/vector (includes the
+    # 1.5x list-capacity slack, redundancy, and lane padding -- the
+    # D+6 ideal undercounts by ~1.6x), against ~14 GB of the chip's
+    # 16 GB HBM (the select path needs ~1 GB of transients).
+    per_chip_int8 = int(14e9 / index.bytes_per_vector)
     result = {
         "metric": f"{n / 1e6:.1f}M-vector int8 IVF on one v5e chip"
         + (" (host-streaming build)" if args.streaming else ""),

@@ -157,6 +157,46 @@ def test_load_or_build_streaming_dispatch(tmp_path, monkeypatch):
     _assert_identical(resident, streamed)
 
 
+def test_streaming_lane_padded_block(monkeypatch):
+    """Chunked-regime streaming builds allocate the block lane-padded
+    (multiple of 128): TPU tiling pays the physical padding either way,
+    and padding at serving time would materialize a second full-size
+    copy (the 8M-row OOM, round 4).  Forced here by shrinking the
+    fullscan transient; search results must match an unpadded build
+    exactly, and device_arrays must not re-pad."""
+    from ann_solo_tpu.index import ivf as ivf_mod
+
+    rng = np.random.default_rng(4)
+    vectors = _vectors(rng, n=2500, d=64)
+    config = IvfConfig(num_list=16, num_probe=16)
+    plain = IvfIndex.build_streaming(
+        _get_rows(vectors), 2500, 64, config, seed=1,
+        storage_dtype=np.int8,
+    )
+    assert plain.padded_vectors.shape[-1] == 64
+    monkeypatch.setattr(ivf_mod, "_FULLSCAN_TRANSIENT", 1)
+    padded = IvfIndex.build_streaming(
+        _get_rows(vectors), 2500, 64, config, seed=1,
+        storage_dtype=np.int8,
+    )
+    assert padded.padded_vectors.shape[-1] == 128
+    # Real columns byte-identical, padding columns all zero.
+    pv, qv = np.asarray(plain.padded_vectors), np.asarray(
+        padded.padded_vectors
+    )
+    np.testing.assert_array_equal(qv[..., :64], pv)
+    assert not qv[..., 64:].any()
+    assert padded.device_dim == 128
+    vecs_dev = padded.device_arrays()[0]
+    assert vecs_dev.shape[-1] == 128
+    cents_dev = padded.device_arrays()[4]
+    assert cents_dev.shape[-1] == 128
+    queries = vectors[rng.integers(0, 2500, 64)]
+    ids_a = plain.search(queries, k=10)
+    ids_b = padded.search(queries, k=10)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
+
 def test_streaming_search_matches_oracle():
     """End to end: the streamed index answers queries identically to
     the resident build (same scores, same ids)."""
