@@ -14,6 +14,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, ".")
+
 B = 4096
 C = 1024
 K = 50
@@ -52,7 +54,7 @@ def main():
     cand_d = jnp.asarray(cand)
 
     ref = None
-    for c_chunk in (8, 16, 32, 64, 128):
+    for c_chunk in (16, 64, 128):
         args = (
             qm_d, qi_d, qp_d, lm_d, li_d, la_d, lp_d, cand_d,
             FRAG_TOL, CHARGE + 1, True, c_chunk,
