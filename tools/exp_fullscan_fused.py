@@ -56,6 +56,7 @@ def main():
     ap.add_argument("--n", type=int, default=131072)
     ap.add_argument("--num-probe", type=int, default=256)
     ap.add_argument("--k", type=int, default=1024)
+    ap.add_argument("--decompose", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -261,18 +262,32 @@ def main():
 
         return run
 
-    ref = None
-    for name, fn in [
+    variants = [
         ("shipped", tile_shipped),
         ("fusedB", tile_fusedB),
         ("fusedA", tile_fusedA),
-    ]:
+    ]
+    if args.decompose:
+        # Cumulative decomposition of the shipped path: noid stops at
+        # the canonical top-k (positions only), nodedup adds the id
+        # row-gather but skips _dedup_topk.  Their outputs differ from
+        # the full path by construction; timings locate the tail cost.
+        variants = [
+            ("noid", tile_noid),
+            ("nodedup", tile_nodedup),
+            ("shipped", tile_shipped),
+        ]
+
+    ref = None
+    for name, fn in variants:
         ms, out = timeit(
             make(fn), queries, q_prec, vectors_d, centroids_d, ids_d,
             prec_d, scales_d, prec_inf,
         )
         host = (np.asarray(out[0]), np.asarray(out[1]))
-        if ref is None:
+        if args.decompose:
+            ok = "n/a"
+        elif ref is None:
             ref = host
             ok = "ref"
         else:
