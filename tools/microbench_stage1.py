@@ -6,6 +6,12 @@ measures LARGER steps at the bench shape (B=4096, C=1024, K=50,
 131k-row library) to check whether 64k is the knee or just where the
 round-4 ladder stopped.
 
+ANSWER (measured on v5e, end of round 4): 64k IS the knee.
+c_chunk=16 (64k pairs/step) 207.2 ms/batch, c_chunk=64 (262k)
+243.7 ms, c_chunk=128 (524k) 248.6 ms — bigger steps push the fused
+(P, K, K) working set past what the VPU pipeline hides and lose ~18%.
+The shipped 65536 // B default stands.
+
 Usage: python tools/microbench_stage1.py
 """
 
