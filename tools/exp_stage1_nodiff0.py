@@ -1,0 +1,173 @@
+"""Does stage-1 materialize the shared (P, K, K) diff0 in HBM?
+
+The stage-1 bound computes ``diff0 = qm[:,:,None] - cm[:,None,:]`` ONCE
+and reuses it for the direct pass plus every shift's ``|diff0 - offset|``
+compare.  If XLA CSEs that producer into a materialized (64k, 50, 50)
+f32 block (640 MB/chunk), the pass is HBM-bound: ~write 640 MB + read it
+back num_shifts+1 times ~= 3.2 GB/chunk ~= 4 ms at v5e bandwidth --
+which matches the measured 5.6 ms/64k-pair chunk almost exactly.
+
+The candidate reformulation folds the shift offset into the QUERY side
+first (``(qm - offset)[:,:,None] - cm[:,None,:]``): every shift then has
+a DISTINCT (P, K, K) expression that XLA fuses straight into its own
+row-max reduction -- zero (P, K, K) HBM traffic, 4 independent fused
+compare+select+reduce passes over (P, K)-sized inputs.
+
+Soundness: ``(qm - offset) - cm`` can differ from the kernel's
+``(qm - cm) - offset`` by f32 reassociation error (<= ~2 ulps of the
+~3000-magnitude intermediates ~= 5e-4), so the reformulated bound widens
+the shifted-match tolerance by 1e-3 -- the bound only gets LOOSER
+(superset of kernel matches => still an upper bound); with ~50 peaks
+over ~1400 Da the extra 2e-3 Da annulus catches a boundary peak in
+~7e-5 of rows, so tightness is untouched in practice.
+
+Run: python tools/exp_stage1_nodiff0.py
+"""
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from ann_solo_tpu.ops import rescore as R
+
+B, C, K = 4096, 1024, 50
+FRAG_TOL = 0.04
+NUM_SHIFTS = 3
+REPS = 4
+
+
+@partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def stage1_nodiff0(
+    q_mz, q_int, q_prec,
+    lib_mz, lib_int, lib_ann, lib_prec,
+    cand_ids,
+    fragment_mz_tolerance: float,
+    num_shifts: int,
+    allow_shift: bool,
+    c_chunk: int,
+):
+    b, c = cand_ids.shape
+
+    def chunk(ids_chunk):
+        flat = ids_chunk.reshape(-1)
+        valid = flat >= 0
+        safe = jnp.clip(flat, 0, lib_mz.shape[0] - 1).astype(jnp.int32)
+        rows = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.int32)[:, None], ids_chunk.shape
+        ).reshape(-1)
+        qm, qi, qp, cm, ci, ca, cp = R._gather_pair_peaks(
+            q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
+            rows, safe,
+        )
+        tol = jnp.float32(fragment_mz_tolerance)
+        tol_wide = jnp.float32(fragment_mz_tolerance + 1e-3)
+        chg = jnp.float32(num_shifts - 1 if allow_shift else 1)
+        prec_diff = (qp - cp) * chg  # (P,)
+        cm_b = cm[:, None, :]
+        vmax = jnp.max(
+            jnp.where(
+                jnp.abs(qm[:, :, None] - cm_b) <= tol, ci[:, None, :], 0.0
+            ),
+            axis=2,
+        )
+        if allow_shift and num_shifts > 1:
+            shifted = jnp.abs(prec_diff) >= tol
+            for s in range(1, num_shifts):
+                mult = jnp.where(
+                    ca == s, 1.0, jnp.where(ca == 0, 2.0 / 3.0, 0.0)
+                )
+                cterm = (mult * ci)[:, None, :]
+                qm_s = qm - (prec_diff / jnp.float32(s))[:, None]  # (P, K)
+                within = jnp.abs(qm_s[:, :, None] - cm_b) <= tol_wide
+                within &= shifted[:, None, None]
+                vmax = jnp.maximum(
+                    vmax, jnp.max(jnp.where(within, cterm, 0.0), axis=2)
+                )
+        ub = jnp.sum(qi * vmax, axis=1) * jnp.float32(1 + 2.0 ** -20)
+        ub = jnp.where(valid, ub, -jnp.inf)
+        return ub.reshape(ids_chunk.shape)
+
+    n_chunks = -(-c // c_chunk)
+    c_pad = n_chunks * c_chunk
+    if c_pad != c:
+        cand_ids = jnp.pad(
+            cand_ids, ((0, 0), (0, c_pad - c)), constant_values=-1
+        )
+    stacked = jnp.transpose(
+        cand_ids.reshape(b, n_chunks, c_chunk), (1, 0, 2)
+    )
+    ub_s = jax.lax.map(chunk, stacked)
+    return jnp.transpose(ub_s, (1, 0, 2)).reshape(b, c_pad)[:, :c]
+
+
+def timeit(fn, reps=REPS):
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn()
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    rng = np.random.default_rng(7)
+    n_lib = 131072
+    lib_mz = jnp.asarray(
+        np.sort(rng.uniform(101, 1500, (n_lib, K)).astype(np.float32), axis=1)
+    )
+    lib_int = jnp.asarray(rng.uniform(0.1, 1, (n_lib, K)).astype(np.float32))
+    lib_ann = jnp.asarray(rng.integers(0, 3, (n_lib, K)).astype(np.int32))
+    lib_prec = jnp.asarray(rng.uniform(400, 1200, n_lib).astype(np.float32))
+    q_mz = jnp.asarray(
+        np.sort(rng.uniform(101, 1500, (B, K)).astype(np.float32), axis=1)
+    )
+    q_int = jnp.asarray(rng.uniform(0.1, 1, (B, K)).astype(np.float32))
+    q_prec = jnp.asarray(rng.uniform(400, 1200, B).astype(np.float32))
+    cand = jnp.asarray(
+        rng.integers(0, n_lib, (B, C)).astype(np.int32)
+    )
+
+    for c_chunk in (16, 32, 64):
+        if 65536 // B < c_chunk and c_chunk * B > 262144:
+            continue
+        t_old = timeit(lambda: np.asarray(R._stage1_bounds(
+            q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
+            cand, FRAG_TOL, NUM_SHIFTS, True, c_chunk,
+        )[-1, -1:]))
+        t_new = timeit(lambda: np.asarray(stage1_nodiff0(
+            q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
+            cand, FRAG_TOL, NUM_SHIFTS, True, c_chunk,
+        )[-1, -1:]))
+        print(
+            f"c_chunk={c_chunk:3d} ({B*c_chunk//1024}k pairs/step): "
+            f"old {t_old*1e3:7.1f} ms  nodiff0 {t_new*1e3:7.1f} ms "
+            f"({t_old/t_new:.2f}x)"
+        )
+
+    # Soundness spot check: the new bound must dominate exact greedy
+    # scores; compare against the old bound too (should differ only at
+    # boundary ulps -- i.e. almost never on random data).
+    ub_old = np.asarray(R._stage1_bounds(
+        q_mz[:256], q_int[:256], q_prec[:256],
+        lib_mz, lib_int, lib_ann, lib_prec,
+        cand[:256, :64], FRAG_TOL, NUM_SHIFTS, True, 16,
+    ))
+    ub_new = np.asarray(stage1_nodiff0(
+        q_mz[:256], q_int[:256], q_prec[:256],
+        lib_mz, lib_int, lib_ann, lib_prec,
+        cand[:256, :64], FRAG_TOL, NUM_SHIFTS, True, 16,
+    ))
+    ge = np.mean(ub_new >= ub_old - 1e-6)
+    print(f"new >= old bound on {ge*100:.3f}% of pairs "
+          f"(max old-new gap {np.max(ub_old - ub_new):.2e})")
+
+
+if __name__ == "__main__":
+    main()
