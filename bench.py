@@ -106,15 +106,19 @@ def main():
     )
 
     # Library vectors are computed and kept on device end-to-end.
+    # Chunked at N_QUERIES so the library leg and the per-batch query
+    # pipeline share ONE compiled vectorize program -- each distinct
+    # cold program is one roll of the compile-service stall die
+    # (intermittent ~140-400 s on one first-use program, see STATUS).
     t0 = time.perf_counter()
     chunks = []
-    for start in range(0, N_LIBRARY, 8192):
+    for start in range(0, N_LIBRARY, N_QUERIES):
         chunks.append(
             vectorize_batch(
                 vparams, tables,
-                lib_mz[start : start + 8192],
-                lib_int[start : start + 8192],
-                lib_n[start : start + 8192],
+                lib_mz[start : start + N_QUERIES],
+                lib_int[start : start + N_QUERIES],
+                lib_n[start : start + N_QUERIES],
             )
         )
     lib_vectors = jnp.concatenate(chunks)
