@@ -1028,9 +1028,20 @@ def _ivf_search_chunked(
     ]  # (B, n_members) gather from the chunk-stacked score block
 
     k_eff = min(k_run, n_members)
-    run_s, sel = jax.lax.top_k(member_s, k_eff)
-    run_pos = jnp.take_along_axis(member_pos, sel, axis=1)
-    run_s = run_s.astype(jnp.float32)
+    # Canonical final selection: member lanes arrive in (group rank,
+    # member) order -- NOT global-position order -- so a plain top_k
+    # breaks ties by group rank and deviates from the per-query oracle
+    # whenever equal keys straddle lanes of differently-ranked groups
+    # (round-5 finding: int8 bf16-key ties made ~10% of queries return
+    # the same id/score SETS in a different tie order at degenerate
+    # chunk sizes).  One two-key sort on (-score, position) restores
+    # the canonical (key desc, position asc) ranking exactly.
+    neg_s, run_pos = jax.lax.sort(
+        (-member_s, member_pos), dimension=1, is_stable=False,
+        num_keys=2,
+    )
+    run_s = (-neg_s[:, :k_eff]).astype(jnp.float32)
+    run_pos = run_pos[:, :k_eff]
     run_s = jnp.where(jnp.isfinite(run_s), run_s, -jnp.inf)
 
     lists = run_pos // cap

@@ -4,9 +4,39 @@ The 100M+-vector regime from BASELINE.md: the list-major padded IVF
 storage (index/ivf.py) is sharded over the 'lib' mesh axis by *list* --
 each device owns a contiguous slice of lists (and their member vectors),
 centroids are replicated.  A query tile broadcasts over ICI; every shard
-scans the probed lists it owns with blocked MXU matmuls, takes a local
-top-k, and the per-shard candidates merge with one all-gather of k entries
-per query -- communication O(k), independent of library size.
+scans the probed lists it owns, takes a local top-k, and the per-shard
+candidates merge with one all-gather of k entries per query --
+communication O(k), independent of library size.
+
+The shard-local scan dispatches between the same regimes as the
+single-chip index (`IvfIndex.search_device`, index/ivf.py), chosen by
+the same cost model:
+
+* **fullscan** -- small local blocks: each 128-query tile scans ALL
+  local lists as one contiguous MXU einsum with probing as a selection
+  mask (round-3 design; now tiled, so the score transient is bounded
+  to ``(tile, L_l, cap)`` instead of ``(B_l, L_l, cap)``).
+* **probe-gather** -- big local blocks on TPU: each query's probed
+  LOCAL lists are compacted to the front and streamed through the
+  ``ops.ivf_probe_pallas`` kernel at DMA bandwidth; per-shard traffic
+  is ``B_l x width x cap x D`` bytes, independent of the local library
+  size.  On meshes with >1 list shard the static probe width is
+  ``~2 x num_probe / n_shards`` (a query's probes spread across
+  shards); the rare query whose probes concentrate on one shard
+  overflows the width, is flagged through a psum'd coverage bit, and
+  re-runs through the exact chunked program -- the same
+  detect-and-repair structure as the single-chip voting regime.
+* **chunked** -- the exact fallback (f32 storage, CPU meshes, repair
+  path): local lists stream through `lax.scan` in chunks sized to
+  `_CHUNK_TRANSIENT`, each chunk's canonical top-k merges into a
+  running top-k by one two-key sort -- (score key desc, position asc),
+  so the merge IS the canonical ranking and no certificates or repairs
+  are needed (an entry outside a chunk's top-k_local is outranked by
+  k_local lanes of that chunk alone).
+
+All regimes rank lanes in shard-local global-position order and merge
+shard-major, so results are bit-identical to the single-device index
+regimes down to boundary ties (tests/test_sharded_ivf.py).
 
 Query-side data parallelism rides the 'dp' axis unchanged.
 """
@@ -14,6 +44,7 @@ Query-side data parallelism rides the 'dp' axis unchanged.
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 from typing import Tuple
 
@@ -27,14 +58,260 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
+from ann_solo_tpu.index import ivf as _ivf
 from ann_solo_tpu.index.ivf import (
     _canonical_topk,
     _dedup_topk,
     _pad_topk,
     _scan_queries,
+    _window_mask,
 )
 
 logger = logging.getLogger(__name__)
+
+# Per-device bound on the probe-gather score block (B_l, width * cap) f32.
+_PROBE_SCORE_BYTES = 512 << 20
+# Probe-width slack over the per-shard mean probed-list count.
+_PROBE_WIDTH_SLACK = 2
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _shard_index(list_axes, list_axis_sizes):
+    """Flat row-major shard index over the named list axes."""
+    shard = jax.lax.axis_index(list_axes[0])
+    for name, size in zip(list_axes[1:], list_axis_sizes[1:]):
+        shard = shard * size + jax.lax.axis_index(name)
+    return shard
+
+
+def _local_probe_mask(
+    queries, centroids, num_probe: int, lists_per_shard: int,
+    list_axes, list_axis_sizes,
+):
+    """(B, L_l) bool: this shard's slice of each query's probed lists."""
+    l_total = centroids.shape[0]
+    b = queries.shape[0]
+    coarse = jnp.dot(
+        queries, centroids.T, preferred_element_type=jnp.float32
+    )  # (B, L)
+    _, probe_ids = jax.lax.top_k(coarse, min(num_probe, l_total))
+    probed = jnp.zeros((b, l_total), bool)
+    rows = jnp.arange(b)[:, None]
+    probed = probed.at[rows, probe_ids].set(True)
+    shard = _shard_index(list_axes, list_axis_sizes)
+    return jax.lax.dynamic_slice(
+        probed, (0, shard * lists_per_shard), (b, lists_per_shard)
+    )
+
+
+def _local_scan_fullscan(
+    queries, query_prec, local_probed,
+    padded_vectors, padded_ids, padded_prec, padded_scales,
+    k_local: int, charge: float, tol_val: float, tol_mode: str,
+):
+    """Tiled masked-einsum local scan (small local blocks).
+
+    Each 128-query tile scans every local list as one MXU einsum; the
+    probe/validity/window mask runs in the epilogue and selection is
+    canonical (`_canonical_topk`).  Score transient: (tile, L_l, cap)
+    f32 -- the dispatch in `ShardedIvfIndex` only picks this regime
+    when that fits `_FULLSCAN_TRANSIENT` (index/ivf.py cost model)."""
+    l_l, cap, d = padded_vectors.shape
+    b = queries.shape[0]
+    tile = min(_ivf._TILE_Q, b)
+    n_tiles = b // tile
+    cast = padded_vectors.dtype != jnp.float32
+    vecs = padded_vectors
+    if vecs.dtype == jnp.int8:
+        vecs = vecs.astype(jnp.bfloat16)
+
+    def tile_fn(inp):
+        qt, qpt, probed_t = inp  # (T, D), (T,), (T, L_l)
+        scores = jnp.einsum(
+            "qd,lpd->qlp", _scan_queries(qt, cast), vecs,
+            preferred_element_type=jnp.float32,
+        )  # (T, L_l, cap)
+        scores = scores * padded_scales[None, :, :]
+        mask = probed_t[:, :, None] & (padded_ids >= 0)[None, :, :]
+        if tol_val > 0:
+            mask &= _window_mask(
+                qpt[:, None, None], padded_prec[None], charge,
+                tol_val, tol_mode,
+            )
+        flat = jnp.where(mask, scores, -jnp.inf).reshape(
+            tile, l_l * cap
+        )
+        k_t = min(k_local, l_l * cap)
+        top_s, pos = _canonical_topk(flat, k_t, cast)
+        flat_ids = padded_ids.reshape(-1)
+        top_i = jnp.where(top_s > -jnp.inf, flat_ids[pos], -1)
+        return _pad_topk(top_s, top_i, k_local)
+
+    scores_t, ids_t = jax.lax.map(
+        tile_fn,
+        (
+            queries.reshape(n_tiles, tile, d),
+            query_prec.reshape(n_tiles, tile),
+            local_probed.reshape(n_tiles, tile, l_l),
+        ),
+    )
+    return (
+        scores_t.reshape(b, k_local),
+        ids_t.reshape(b, k_local),
+    )
+
+
+def _local_scan_probe(
+    queries, query_prec, local_probed,
+    padded_vectors, padded_ids, padded_prec, padded_scales,
+    k_local: int, charge: float, tol_val: float, tol_mode: str,
+    probe_width: int, interpret: bool,
+):
+    """Probe-gather local scan (big local blocks, TPU).
+
+    Compacts each query's probed LOCAL list ids to the front (sorted
+    ascending -- the canonical lane order) and streams exactly
+    `probe_width` list blocks per query through the
+    `ops.ivf_probe_pallas` kernel; traffic is B x width x cap x D
+    bytes regardless of the local library size, every byte at DMA
+    bandwidth.  Returns an overflow flag per query: true when the
+    query probes MORE than `probe_width` local lists (its selection
+    here would be truncated); the caller re-runs flagged queries
+    through the exact chunked program.
+    """
+    from ann_solo_tpu.ops.ivf_probe_pallas import ivf_probe_scan
+
+    l_l, cap, d = padded_vectors.shape
+    b = queries.shape[0]
+    w = probe_width
+    iota_l = jnp.broadcast_to(
+        jnp.arange(l_l, dtype=jnp.int32)[None, :], (b, l_l)
+    )
+    # Probed local list ids compact to the front, ascending (canonical
+    # global-position lane order); non-probed slots carry l_l.
+    sortk = jnp.where(local_probed, iota_l, l_l)
+    loc_lists = jax.lax.sort(sortk, dimension=1)[:, :w]  # (B, w)
+    slot_valid = loc_lists < l_l
+    if w < l_l:
+        overflow = jnp.sum(local_probed, axis=1) > w
+    else:
+        overflow = jnp.zeros((b,), bool)
+    safe_lists = jnp.where(slot_valid, loc_lists, 0)
+    meta = jnp.concatenate(
+        [
+            padded_prec.astype(jnp.float32),
+            padded_scales.astype(jnp.float32),
+            (padded_ids >= 0).astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (L_l, 3 * cap)
+    flat = ivf_probe_scan(
+        padded_vectors, meta, queries, query_prec,
+        jnp.float32(charge), safe_lists, tol_val, tol_mode, interpret,
+    )  # (B, w * cap) f32, -inf masked
+    flat = jnp.where(
+        jnp.repeat(slot_valid, cap, axis=1), flat, -jnp.inf
+    )
+    k_t = min(k_local, w * cap)
+    top_s, pos = _canonical_topk(flat, k_t, cast=True)
+    lp = pos // cap
+    slot = pos - lp * cap
+    lists = jnp.take_along_axis(safe_lists, lp, axis=1)
+    top_i = jnp.where(top_s > -jnp.inf, padded_ids[lists, slot], -1)
+    top_s, top_i = _pad_topk(top_s, top_i, k_local)
+    return top_s, top_i, overflow
+
+
+def _local_scan_chunked(
+    queries, query_prec, local_probed,
+    padded_vectors, padded_ids, padded_prec, padded_scales,
+    k_local: int, charge: float, tol_val: float, tol_mode: str,
+    chunk_lists: int,
+):
+    """Chunked local scan with an exact canonical running merge.
+
+    Streams local lists through `lax.scan` in `chunk_lists`-list chunks
+    (per-chunk f32 score transient bounded by the caller's
+    `_CHUNK_TRANSIENT` sizing); each chunk's canonical top-k_local
+    merges into the carry by ONE two-key sort on
+    (-score, global position) -- ascending on that pair IS the
+    canonical (key desc, position asc) order, so ties resolve exactly
+    as in every other regime.  Exact with no certificates: a lane
+    outside its own chunk's top-k_local is outranked by k_local lanes
+    from that chunk alone and can never enter the global top-k_local.
+    """
+    l_l, cap, d = padded_vectors.shape
+    b = queries.shape[0]
+    cast = padded_vectors.dtype != jnp.float32
+    c = min(chunk_lists, l_l)
+    n_chunks = -(-l_l // c)
+    k_t = min(k_local, c * cap)
+    q_scan = _scan_queries(queries, cast)
+    iota_c = jnp.arange(c, dtype=jnp.int32)
+
+    def chunk_fn(carry, ci):
+        run_s, run_pos = carry  # (B, k_local) f32 desc, int32
+        start = jnp.minimum(ci * c, l_l - c)
+        vecs = jax.lax.dynamic_slice_in_dim(padded_vectors, start, c, 0)
+        ids_c = jax.lax.dynamic_slice_in_dim(padded_ids, start, c, 0)
+        scl_c = jax.lax.dynamic_slice_in_dim(padded_scales, start, c, 0)
+        probed_c = jax.lax.dynamic_slice_in_dim(
+            local_probed, start, c, 1
+        )  # (B, C)
+        if vecs.dtype == jnp.int8:
+            vecs = vecs.astype(jnp.bfloat16)
+        s = jnp.einsum(
+            "qd,lpd->qlp", q_scan, vecs,
+            preferred_element_type=jnp.float32,
+        )  # (B, C, cap)
+        s = s * scl_c[None]
+        # The last chunk clamps its start when c does not divide L_l;
+        # mask the re-read lists (same trick as _ivf_search_chunked).
+        fresh = (start + iota_c) >= ci * c  # (C,)
+        mask = (
+            probed_c[:, :, None]
+            & (ids_c >= 0)[None]
+            & fresh[None, :, None]
+        )
+        if tol_val > 0:
+            prec_c = jax.lax.dynamic_slice_in_dim(
+                padded_prec, start, c, 0
+            )
+            mask &= _window_mask(
+                query_prec[:, None, None], prec_c[None], charge,
+                tol_val, tol_mode,
+            )
+        flat = jnp.where(mask, s, -jnp.inf).reshape(b, c * cap)
+        top_s, pos = _canonical_topk(flat, k_t, cast)
+        gpos = start * cap + pos  # global flat local position
+        # Canonical merge: ascending (-score, position) == (score
+        # desc, position asc).  -(-inf) = +inf sorts empty lanes last.
+        neg = jnp.concatenate([-run_s, -top_s], axis=1)
+        cat_pos = jnp.concatenate([run_pos, gpos], axis=1)
+        neg_s, pos_s = jax.lax.sort(
+            (neg, cat_pos), dimension=1, is_stable=False, num_keys=2
+        )
+        return (-neg_s[:, :k_local], pos_s[:, :k_local]), 0
+
+    init = (
+        jnp.full((b, k_local), -jnp.inf, jnp.float32),
+        jnp.full((b, k_local), np.iinfo(np.int32).max, jnp.int32),
+    )
+    (run_s, run_pos), _ = jax.lax.scan(
+        chunk_fn, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    lists = run_pos // cap
+    slots = run_pos - lists * cap
+    lists = jnp.clip(lists, 0, l_l - 1)
+    slots = jnp.clip(slots, 0, cap - 1)
+    run_i = jnp.where(run_s > -jnp.inf, padded_ids[lists, slots], -1)
+    return run_s, run_i
 
 
 def _local_ivf_scan(
@@ -54,70 +331,49 @@ def _local_ivf_scan(
     list_axes: Tuple[str, ...] = ("lib",),
     list_axis_sizes: Tuple[int, ...] = (1,),
     k_scan: int = 0,  # pre-dedup width for redundant storage (0 = k)
+    regime: str = "fullscan",
+    probe_width: int = 0,
+    chunk_lists: int = 0,
+    interpret: bool = False,
 ):
-    l_total = centroids.shape[0]
     b = queries.shape[0]
-    coarse = jnp.dot(
-        queries, centroids.T, preferred_element_type=jnp.float32
-    )  # (B, L)
-    _, probe_ids = jax.lax.top_k(coarse, min(num_probe, l_total))
-    probed = jnp.zeros((b, l_total), bool)
-    rows = jnp.arange(b)[:, None]
-    probed = probed.at[rows, probe_ids].set(True)
-    # This shard owns lists [shard * L_l, (shard+1) * L_l).  With
-    # multi-axis list sharding (('dcn', 'lib') on multi-slice systems)
-    # the flat shard index is row-major over the named axes.
-    shard = jax.lax.axis_index(list_axes[0])
-    for name, size in zip(list_axes[1:], list_axis_sizes[1:]):
-        shard = shard * size + jax.lax.axis_index(name)
-    local_probed = jax.lax.dynamic_slice(
-        probed, (0, shard * lists_per_shard), (b, lists_per_shard)
+    local_probed = _local_probe_mask(
+        queries, centroids, num_probe, lists_per_shard,
+        list_axes, list_axis_sizes,
     )  # (B, L_l)
-
-    l_l, p, d = padded_vectors.shape
+    l_l, cap, _ = padded_vectors.shape
     cast = padded_vectors.dtype != jnp.float32
-    if padded_vectors.dtype == jnp.int8:
-        padded_vectors = padded_vectors.astype(jnp.bfloat16)
-    scores = jnp.einsum(
-        "qd,lpd->qlp", _scan_queries(queries, cast), padded_vectors,
-        preferred_element_type=jnp.float32,
-    )  # (B, L_l, P)
-    scores = scores * padded_scales[None, :, :]
-    mask = local_probed[:, :, None] & (padded_ids >= 0)[None, :, :]
-    if tol_val > 0:
-        # Precursor window fused into the shard-local scan mask (same
-        # semantics as the single-chip index, ivf._ivf_search_tile).
-        if tol_mode == "Da":
-            mask &= (
-                jnp.abs(query_prec[:, None, None] - padded_prec[None])
-                * charge
-                <= tol_val
-            )
-        else:
-            mask &= (
-                jnp.abs(query_prec[:, None, None] - padded_prec[None])
-                / jnp.maximum(padded_prec[None], 1e-6) * 1e6
-                <= tol_val
-            )
-    scores = jnp.where(mask, scores, -jnp.inf).reshape(b, l_l * p)
-    flat_ids = jnp.broadcast_to(
-        padded_ids.reshape(-1)[None, :], (b, l_l * p)
-    )
-    # With redundant storage (index.redundancy > 1) a vector's copies may
-    # live on different shards (or the same one): keep k_scan = R * k
-    # entries through the local selection, then dedup ids.
+
+    # With redundant storage (index.redundancy > 1) a vector's copies
+    # may live on different shards (or the same one): keep
+    # k_scan = R * k entries through the local selection, then dedup.
     k_scan = max(k_scan, k)
-    k_local = min(k_scan, l_l * p)
-    # Canonical ranking (ivf._canonical_topk): lanes are in shard-local
-    # list-major order == global position order within the shard, and
-    # the shard-major all-gather merge below preserves that order
-    # across shards, so stable top-k tie-breaks match the single-device
-    # regimes exactly (the sharded == single-device identity test).
-    local_scores, pos = _canonical_topk(scores, k_local, cast)
-    local_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+    k_local = min(k_scan, l_l * cap)
+    overflow = jnp.zeros((b,), bool)
+    if regime == "probe":
+        local_scores, local_ids, overflow = _local_scan_probe(
+            queries, query_prec, local_probed,
+            padded_vectors, padded_ids, padded_prec, padded_scales,
+            k_local, charge, tol_val, tol_mode, probe_width, interpret,
+        )
+    elif regime == "chunked":
+        local_scores, local_ids = _local_scan_chunked(
+            queries, query_prec, local_probed,
+            padded_vectors, padded_ids, padded_prec, padded_scales,
+            k_local, charge, tol_val, tol_mode, chunk_lists,
+        )
+    else:
+        local_scores, local_ids = _local_scan_fullscan(
+            queries, query_prec, local_probed,
+            padded_vectors, padded_ids, padded_prec, padded_scales,
+            k_local, charge, tol_val, tol_mode,
+        )
     # Merge per-shard top-k over ICI.
     # O(k) merge: one all-gather per list axis (DCN leg last and tiny
-    # on multi-slice meshes -- k entries per query per slice).
+    # on multi-slice meshes -- k entries per query per slice).  Lanes
+    # within a shard are in local-position order and shards gather in
+    # shard-major order == global position order, so the stable merge
+    # tie-break matches the single-device regimes exactly.
     all_scores = jax.lax.all_gather(local_scores, list_axes, axis=0)
     all_ids = jax.lax.all_gather(local_ids, list_axes, axis=0)
     s = all_scores.shape[0]
@@ -133,24 +389,46 @@ def _local_ivf_scan(
     if k_scan > k or top_scores.shape[1] > k:
         top_scores, top_ids = _dedup_topk(top_scores, top_ids, k)
     top_scores, top_ids = _pad_topk(top_scores, top_ids, k)
-    return top_ids, top_scores
+    # OR the truncation flag across shards so every dp replica (and the
+    # host) sees a query as flagged when ANY shard overflowed.
+    if regime == "probe" and probe_width < min(num_probe, l_l):
+        overflow = (
+            jax.lax.psum(overflow.astype(jnp.int32), list_axes) > 0
+        )
+    return top_ids, top_scores, overflow
 
 
-@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12, 13, 14))
+@partial(
+    jax.jit, static_argnums=(0, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+                             18, 19, 20)
+)
 def _sharded_ivf_impl(
     mesh, queries, query_prec, padded_vectors, padded_ids, padded_prec,
     padded_scales, centroids,
     num_probe: int, k: int, lists_per_shard: int,
     charge: float, tol_val: float, tol_mode: str,
     k_scan: int = 0,
+    list_axes: Tuple[str, ...] = ("lib",),
+    list_axis_sizes: Tuple[int, ...] = (1,),
+    regime: str = "fullscan",
+    probe_width: int = 0,
+    chunk_lists: int = 0,
+    interpret: bool = False,
 ):
+    """One shard_map program covering single-slice ('dp', 'lib') and
+    multi-slice ('dcn', 'dp', 'lib') meshes: lists shard over
+    `list_axes` (row-major flat shard index), queries over 'dp'.  The
+    within-slice merge rides ICI; on multi-slice meshes the across-
+    slice merge is one k-entry all-gather on DCN (BASELINE.md 100M+
+    north star; see mesh.make_multislice_mesh)."""
+    la = list_axes if len(list_axes) > 1 else list_axes[0]
     in_specs = [
-        P("dp", None),  # queries
+        P("dp", None),  # queries (replicated over the list axes)
         P("dp"),  # query precursor m/z
-        P("lib", None, None),  # lists
-        P("lib", None),  # ids
-        P("lib", None),  # stored precursor m/z
-        P("lib", None),  # dequantization scales
+        P(la, None, None),  # lists
+        P(la, None),  # ids
+        P(la, None),  # stored precursor m/z
+        P(la, None),  # dequantization scales
         P(None, None),  # centroids replicated
     ]
     args = [
@@ -165,13 +443,19 @@ def _sharded_ivf_impl(
         charge=charge,
         tol_val=tol_val,
         tol_mode=tol_mode,
+        list_axes=list_axes,
+        list_axis_sizes=list_axis_sizes,
         k_scan=k_scan,
+        regime=regime,
+        probe_width=probe_width,
+        chunk_lists=chunk_lists,
+        interpret=interpret,
     )
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(P("dp", None), P("dp", None)),
+        out_specs=(P("dp", None), P("dp", None), P("dp")),
         check_vma=False,
     )
     return fn(*args)
@@ -188,13 +472,6 @@ def _sharded_kmeans_fit(mesh, vectors_sharded, init_centroids, n_iter: int):
         return sharded_kmeans_step(mesh, vectors_sharded, centroids)
 
     return jax.lax.fori_loop(0, n_iter, body, init_centroids)
-
-
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
 
 
 def _list_axes(mesh: Mesh) -> Tuple[str, ...]:
@@ -218,9 +495,10 @@ def _list_spec(mesh: Mesh, n_trailing: int) -> P:
 
 def _place_lib_blocks(mesh: Mesh, blocks, spec: P):
     """Assemble a global array sharded over the list axes from per-shard
-    host blocks, placing each block straight onto its devices (dp
-    replicas get copies) -- the full array never exists on one device or
-    as one host buffer beyond the input list.
+    blocks (host ndarrays or single-device jax arrays), placing each
+    block straight onto its devices (dp replicas get copies) -- the
+    full array never exists on one device or as one host buffer beyond
+    the input list.
 
     On a ('dcn', 'dp', 'lib') mesh block `i` lands on the devices whose
     (dcn, lib) coordinates flatten row-major to `i`: slice-local blocks
@@ -228,7 +506,7 @@ def _place_lib_blocks(mesh: Mesh, blocks, spec: P):
     within each slice and nothing crosses DCN at build time."""
     global_shape = (
         len(blocks) * blocks[0].shape[0],
-    ) + blocks[0].shape[1:]
+    ) + tuple(blocks[0].shape[1:])
     sharding = NamedSharding(mesh, spec)
     names = mesh.axis_names
     la = _list_axes(mesh)
@@ -245,8 +523,31 @@ def _place_lib_blocks(mesh: Mesh, blocks, spec: P):
     )
 
 
+def _pad_block(arr, cap_to: int, d_to: int = 0, fill=0):
+    """Right-pad a per-shard (L_l, cap[, D]) host block's slot axis to
+    `cap_to` (and feature axis to `d_to` for 3-D blocks).  Padded slots
+    are invalid everywhere (ids -1 / masks false); zero feature columns
+    leave inner products unchanged."""
+    arr = np.asarray(arr)
+    pads = [(0, 0), (0, cap_to - arr.shape[1])]
+    if arr.ndim == 3:
+        pads.append((0, max(0, d_to - arr.shape[2])))
+    if all(p == (0, 0) for p in pads):
+        return arr
+    return np.pad(arr, pads, constant_values=fill)
+
+
 class ShardedIvfIndex:
-    """A host IvfIndex with its blocks placed once across the mesh."""
+    """An IVF index with its list blocks placed once across the mesh.
+
+    Construct from a host `IvfIndex` (placement only) or born-sharded
+    via `build_sharded` / `build_sharded_streaming`.  Searches dispatch
+    the shard-local scan by the single-chip cost model (see module
+    docstring); *scale-regime* indexes (local block too big for the
+    fullscan transient) are placed with the slot/feature axes padded to
+    multiples of 128 so the probe-gather Pallas kernel sees Mosaic-
+    aligned blocks without materializing a padded copy per call.
+    """
 
     def __init__(self, mesh: Mesh, index):
         n_lists = index.padded_vectors.shape[0]
@@ -255,30 +556,104 @@ class ShardedIvfIndex:
             raise ValueError(
                 f"num_list={n_lists} must divide list shards={n_shards}"
             )
-        self.mesh = mesh
-        self.num_probe = index.num_probe
-        self.redundancy = getattr(index, "redundancy", 1)
-        self.lists_per_shard = n_lists // n_shards
-        self.vectors_s = jax.device_put(
-            jnp.asarray(index.padded_vectors),
-            NamedSharding(mesh, _list_spec(mesh, 2)),
+        lists_per_shard = n_lists // n_shards
+        cap = index.padded_ids.shape[1]
+        d = index.padded_vectors.shape[2]
+        self._init_params(
+            mesh, int(index.num_probe),
+            getattr(index, "redundancy", 1), lists_per_shard, cap, d,
+            np.dtype(index.padded_vectors.dtype),
         )
-        self.ids_s = jax.device_put(
-            jnp.asarray(index.padded_ids),
-            NamedSharding(mesh, _list_spec(mesh, 1)),
-        )
-        self.prec_s = jax.device_put(
-            jnp.asarray(index.padded_prec, jnp.float32),
-            NamedSharding(mesh, _list_spec(mesh, 1)),
-        )
-        self.scales_s = jax.device_put(
-            jnp.asarray(index.padded_scales, jnp.float32),
-            NamedSharding(mesh, _list_spec(mesh, 1)),
-        )
+        cap_s, d_s = self.cap, self.dim
+        spec3 = NamedSharding(mesh, _list_spec(mesh, 2))
+        spec2 = NamedSharding(mesh, _list_spec(mesh, 1))
+        vecs = np.asarray(index.padded_vectors)
+        ids = np.asarray(index.padded_ids)
+        prec = np.asarray(index.padded_prec, np.float32)
+        scales = np.asarray(index.padded_scales, np.float32)
+        if cap_s != cap or d_s != d:
+            vecs = _pad_block(vecs, cap_s, d_s)
+            ids = _pad_block(ids, cap_s, fill=-1)
+            prec = _pad_block(prec, cap_s)
+            scales = _pad_block(scales, cap_s, fill=1.0)
+        self.vectors_s = jax.device_put(jnp.asarray(vecs), spec3)
+        self.ids_s = jax.device_put(jnp.asarray(ids), spec2)
+        self.prec_s = jax.device_put(jnp.asarray(prec), spec2)
+        self.scales_s = jax.device_put(jnp.asarray(scales), spec2)
         self.centroids_s = jax.device_put(
             jnp.asarray(index.centroids, jnp.float32),
             NamedSharding(mesh, P()),
         )
+
+    def _init_params(
+        self, mesh: Mesh, num_probe: int, redundancy: int,
+        lists_per_shard: int, cap: int, d: int, dtype: np.dtype,
+    ):
+        """Shared bookkeeping + the placement-time scale decision.
+
+        `scale_regime` mirrors the single-chip dispatch bound
+        (index/ivf.py `search_device`): the per-tile (T, L_l, cap) f32
+        score transient of the fullscan einsum no longer fits
+        `_FULLSCAN_TRANSIENT`.  Scale-regime blocks are stored with
+        cap and D padded to multiples of 128 (Mosaic lane layout for
+        the probe-gather kernel; TPU tiling pays the minor-dim pad
+        physically regardless -- see IvfIndex.build_streaming)."""
+        self.mesh = mesh
+        self.num_probe = num_probe
+        self.redundancy = max(1, int(redundancy))
+        self.lists_per_shard = lists_per_shard
+        self.n_list_shards = _n_list_shards(mesh)
+        self.storage_dtype = np.dtype(dtype)
+        self.scale_regime = (
+            lists_per_shard * cap * 4 * _ivf._TILE_Q
+            > _ivf._FULLSCAN_TRANSIENT
+        )
+        if self.scale_regime:
+            self.cap = -(-cap // 128) * 128
+            self.dim = -(-d // 128) * 128
+        else:
+            self.cap = cap
+            self.dim = d
+        self._last_overflow = 0  # observability (SCALE.json)
+
+    def _regime_params(self, b_l: int, num_probe: int, k_scan: int):
+        """(regime, probe_width, chunk_lists, interpret) for a local
+        batch of `b_l` queries -- the sharded mirror of
+        `IvfIndex.search_device`'s dispatch."""
+        from ann_solo_tpu.ops.ivf_probe_pallas import (
+            probe_scan_supported,
+        )
+        from ann_solo_tpu.ops.shifted_dot_pallas import (
+            use_pallas_default,
+        )
+
+        l_l, cap, d = self.lists_per_shard, self.cap, self.dim
+        if not self.scale_regime:
+            return "fullscan", 0, 0, False
+        p = min(self.num_probe if num_probe <= 0 else num_probe, l_l)
+        s = self.n_list_shards
+        if s == 1:
+            w = p
+        else:
+            # A query's p probed lists spread over s shards; 2x the
+            # mean covers the binomial tail, overflow repairs the rest.
+            w = min(p, max(16, _next_pow2(-(-_PROBE_WIDTH_SLACK * p // s))))
+        probe_env = os.environ.get("ANN_SOLO_TPU_PROBE_PALLAS", "1")
+        pallas_ok = use_pallas_default() or probe_env == "force"
+        use_probe = (
+            probe_env != "0"
+            and pallas_ok
+            and probe_scan_supported(
+                l_l, cap, d, w, k_scan, self.storage_dtype, b_l,
+            )
+        )
+        if use_probe:
+            interpret = not use_pallas_default()
+            return "probe", w, 0, interpret
+        _, chunk_lists = _ivf.chunked_scan_params(
+            l_l, cap, p, k_scan, b_l
+        )
+        return "chunked", 0, chunk_lists, False
 
     @classmethod
     def build_sharded(
@@ -293,45 +668,89 @@ class ShardedIvfIndex:
         centroids=None,
         n_iter: int = 25,
     ) -> "ShardedIvfIndex":
-        """Build an index that is BORN sharded over the 'lib' mesh axis
-        (BASELINE.md north star: 100M+ vectors sharded over ICI "for
-        both index build and query" -- a 100M x 800 bf16 block is
-        ~160 GB and can never exist on one chip even transiently).
+        """Build an index BORN sharded from a resident host row block.
 
-        * k-means trains on a FAISS-subsampled row set sharded over the
-          WHOLE mesh: per-shard segment sums + one psum per iteration
-          (`_sharded_kmeans_fit`); centroids replicate (L x D is small).
+        Thin wrapper over `build_sharded_streaming` -- the row accessor
+        fancy-indexes the host array chunk by chunk, so peak transient
+        memory is bounded exactly as in the streaming path (the full
+        block exists only as the caller's input)."""
+        vectors = np.asarray(vectors)
+        n, d = vectors.shape
+
+        def get_rows(idx):
+            host = np.clip(np.asarray(idx), 0, n - 1)
+            return jnp.asarray(vectors[host], jnp.float32)
+
+        return cls.build_sharded_streaming(
+            mesh, get_rows, n, d, config,
+            precursor_mz=precursor_mz, seed=seed,
+            storage_dtype=storage_dtype, redundancy=redundancy,
+            centroids=centroids, n_iter=n_iter,
+        )
+
+    @classmethod
+    def build_sharded_streaming(
+        cls,
+        mesh: Mesh,
+        get_rows,
+        n: int,
+        d: int,
+        config,
+        precursor_mz=None,
+        seed: int = 42,
+        storage_dtype=None,
+        redundancy=None,
+        centroids=None,
+        n_iter: int = 25,
+        group_bytes: int = 1 << 30,
+    ) -> "ShardedIvfIndex":
+        """Build an index that is BORN sharded over the list axes
+        WITHOUT the full (N, D) source block ever existing (BASELINE.md
+        north star: 100M+ vectors sharded over ICI "for both index
+        build and query" -- a 100M x 800 f32 block is ~320 GB and can
+        never exist on one host or chip even transiently).
+
+        * k-means trains on a FAISS-subsampled row set fetched through
+          `get_rows` and sharded over the WHOLE mesh: per-shard segment
+          sums + one psum per iteration (`_sharded_kmeans_fit`);
+          centroids replicate (L x D is small).
         * top-A assignment runs in fixed row blocks on the default
           device; only the (N, A) int32 choices ever accumulate.
         * balanced (redundant) placement reuses `plan_assignments` --
           byte-identical placement to the single-device build given the
-          same centroids (tests/test_sharded_build.py pins this).
-        * each shard's (L_l, cap, D) block is packed separately and
-          placed straight onto its devices: no device holds more than
-          one shard block at any point.
+          same centroids (tests/test_sharded_build.py pins this); the
+          bookkeeping tables are O(R * N) int32/int64, not O(N * D).
+        * each shard's (L_l, cap, D) block is packed GROUP by GROUP on
+          the default device (`_pack_group`, quantization bit-identical
+          to `_pack_lists`): one list-group's source rows are fetched
+          through `get_rows`, quantized, and written into a donated
+          preallocated buffer; the finished shard block transfers to
+          its devices and the scratch is freed before the next shard
+          packs.  Peak memory anywhere = one shard block + one
+          list-group's rows (tests/test_sharded_build.py pins the
+          accessor's max rows-in-flight).
 
-        The host feeds rows (vectors live in host RAM or stream from
-        disk); device memory is bounded by one shard block + one row
-        chunk.  Reference analog: FAISS train/add,
-        spectral_library.py:163-181 (single-GPU only).
+        `get_rows(row_indices (M,) int32 device array) -> (M, d)`
+        returns source rows for arbitrary indices; indices may contain
+        -1 or clamped duplicates for empty slots, whose rows may hold
+        anything -- the packer masks them.  Reference analog: FAISS
+        train on a subsample + batched `add`
+        (spectral_library.py:163-181), sharded.
         """
         import ml_dtypes
 
         from ann_solo_tpu.index.ivf import (
-            _pack_lists,
+            _pack_group,
             ivf_build_params,
             plan_assignments,
+            resolve_num_list,
             resolve_soar_lambda,
         )
         from ann_solo_tpu.ops.kmeans import assign_topk_blocked
 
         if storage_dtype is None:
             storage_dtype = ml_dtypes.bfloat16
-        from ann_solo_tpu.index.ivf import resolve_num_list
-
-        num_list = resolve_num_list(
-            int(config.num_list), int(np.shape(vectors)[0])
-        )
+        num_list = resolve_num_list(int(config.num_list), n)
         if redundancy is None:
             try:
                 redundancy = int(config.ivf_redundancy)
@@ -347,15 +766,13 @@ class ShardedIvfIndex:
             raise ValueError(
                 f"num_list={num_list} must divide list shards={lib_shards}"
             )
-        vectors = np.asarray(vectors)
-        n, d = vectors.shape
         soar_lambda = resolve_soar_lambda(config)
         r_eff, cap, n_choices = ivf_build_params(
             n, num_list, redundancy, soar_lambda
         )
         if centroids is None:
             centroids = cls._train_centroids_sharded(
-                mesh, vectors, num_list, seed, n_iter
+                mesh, get_rows, n, num_list, seed, n_iter
             )
         centroids = np.asarray(centroids, np.float32)
 
@@ -366,101 +783,118 @@ class ShardedIvfIndex:
         # byte-identical (tests/test_sharded_build.py).
         centroids_d = jnp.asarray(centroids)
         block = 1 << 16
-        choices = np.concatenate([
-            np.asarray(assign_topk_blocked(
-                jnp.asarray(vectors[start : start + block]),
-                centroids_d, n_choices,
-            ))
-            for start in range(0, n, block)
-        ])
-        round_choices = None
-        if soar_lambda > 0.0 and r_eff >= 2:
-            from ann_solo_tpu.ops.kmeans import soar_round2_choices
+        ch_parts, soar_parts = [], []
+        use_soar = soar_lambda > 0.0 and r_eff >= 2
+        for start in range(0, n, block):
+            idx = jnp.arange(
+                start, min(start + block, n), dtype=jnp.int32
+            )
+            rows = get_rows(idx)
+            ch = assign_topk_blocked(rows, centroids_d, n_choices)
+            ch_parts.append(np.asarray(ch))
+            if use_soar:
+                from ann_solo_tpu.ops.kmeans import soar_round2_choices
 
-            second = np.concatenate([
-                np.asarray(soar_round2_choices(
-                    jnp.asarray(vectors[start : start + block]),
-                    centroids_d,
-                    jnp.asarray(choices[start : start + block]),
-                    soar_lambda,
-                ))
-                for start in range(0, n, block)
-            ])
-            round_choices = [second] + [None] * max(0, r_eff - 2)
+                soar_parts.append(np.asarray(soar_round2_choices(
+                    rows, centroids_d, ch, soar_lambda,
+                )))
+            del rows
+        choices = np.concatenate(ch_parts)
+        del ch_parts
+        round_choices = None
+        if use_soar:
+            round_choices = [np.concatenate(soar_parts)] + [None] * max(
+                0, r_eff - 2
+            )
+            del soar_parts
         flat_slot, row_ids, spilled, _ = plan_assignments(
             choices, num_list, cap, r_eff, round_choices=round_choices
         )
+        del choices, round_choices
         logger.debug(
             "Sharded IVF build: %d lists (cap %d, x%d), %d spilled",
             num_list, cap, r_eff, spilled,
         )
+        # Slot -> global row table ((L * cap,) int32, -1 = empty):
+        # O(L * cap) bookkeeping, ~3 * N ints -- never O(N * D).
+        total = num_list * cap
+        ids_flat = np.full((total,), -1, np.int32)
+        keep = flat_slot >= 0
+        ids_flat[flat_slot[keep]] = row_ids[keep]
+        del flat_slot, row_ids
 
         lists_per_shard = num_list // lib_shards
-        slot_span = lists_per_shard * cap
+        index = cls.__new__(cls)
+        index._init_params(
+            mesh, int(config.num_probe), r_eff, lists_per_shard, cap, d,
+            np.dtype(storage_dtype),
+        )
+        cap_s, d_s = index.cap, index.dim
+        dt = jnp.dtype(storage_dtype)
+        group_lists = max(
+            1, int(group_bytes // (cap * d * (4 + dt.itemsize)))
+        )
+        while lists_per_shard % group_lists:
+            group_lists -= 1
         prec = (
             np.asarray(precursor_mz, np.float32)
             if precursor_mz is not None else None
         )
-        vec_blocks, ids_blocks, prec_blocks, scale_blocks = [], [], [], []
+        vec_bufs, ids_bufs, prec_bufs, scale_bufs = [], [], [], []
         for s_idx in range(lib_shards):
-            lo = s_idx * slot_span
-            m = (flat_slot >= lo) & (flat_slot < lo + slot_span)
-            local_slot = flat_slot[m] - lo
-            local_rows = row_ids[m]
-            uniq, inv = np.unique(local_rows, return_inverse=True)
-            # Pad entry/row counts to power-of-two buckets: one compiled
-            # _pack_lists variant per bucket, not per shard.
-            m_pad = _next_pow2(max(1, len(local_slot)))
-            local_slot = np.concatenate(
-                [local_slot, np.full(m_pad - len(local_slot), -1)]
-            )
-            inv = np.concatenate(
-                [inv, np.zeros(m_pad - len(inv), inv.dtype)]
-            ).astype(np.int32)
-            u_pad = _next_pow2(max(1, len(uniq)))
-            sub = np.zeros((u_pad, d), np.float32)
-            sub[: len(uniq)] = vectors[uniq]
-            ids_flat, packed, scales = _pack_lists(
-                jnp.asarray(sub), jnp.asarray(local_slot),
-                jnp.asarray(inv), lists_per_shard, cap,
-                jnp.dtype(storage_dtype),
-            )
-            ids_flat = np.asarray(ids_flat)
-            gids = np.where(
-                ids_flat >= 0,
-                uniq[np.clip(ids_flat, 0, len(uniq) - 1)],
-                -1,
-            ).astype(np.int32)
+            lo = s_idx * lists_per_shard
+            shard_ids = ids_flat[
+                lo * cap : (lo + lists_per_shard) * cap
+            ].reshape(lists_per_shard, cap)
+            # Pack this shard's block group by group into donated
+            # buffers on the default device (slot-axis padding written
+            # as invalid rows by construction: ids -1 -> fill 0).
+            packed = jnp.zeros((lists_per_shard, cap_s, d_s), dt)
+            scales = jnp.ones((lists_per_shard, cap_s), jnp.float32)
+            shard_ids_pad = _pad_block(shard_ids, cap_s, fill=-1)
+            for g0 in range(0, lists_per_shard, group_lists):
+                idx_np = shard_ids_pad[g0 : g0 + group_lists].reshape(-1)
+                fill = jnp.asarray(
+                    (idx_np >= 0).astype(np.float32)
+                )
+                src = get_rows(jnp.asarray(idx_np))
+                if src.shape[-1] != d_s:
+                    src = jnp.pad(
+                        src, ((0, 0), (0, d_s - src.shape[-1]))
+                    )
+                packed, scales = _pack_group(
+                    packed, scales, src, fill, jnp.int32(g0),
+                    group_lists, cap_s,
+                )
+                del src
             pr = (
                 np.where(
-                    gids >= 0, prec[np.clip(gids, 0, n - 1)], 0.0
+                    shard_ids_pad >= 0,
+                    prec[np.clip(shard_ids_pad, 0, n - 1)],
+                    0.0,
                 ).astype(np.float32)
                 if prec is not None
-                else np.zeros_like(gids, np.float32)
+                else np.zeros_like(shard_ids_pad, np.float32)
             )
-            vec_blocks.append(np.asarray(packed))
-            ids_blocks.append(gids.reshape(lists_per_shard, cap))
-            prec_blocks.append(pr.reshape(lists_per_shard, cap))
-            scale_blocks.append(
-                np.asarray(scales).reshape(lists_per_shard, cap)
-            )
-
-        index = cls.__new__(cls)
-        index.mesh = mesh
-        index.num_probe = int(config.num_probe)
-        index.redundancy = r_eff
-        index.lists_per_shard = lists_per_shard
+            # Transfer the finished block to its shard devices and
+            # free the packing scratch before the next shard packs.
+            vec_bufs.append(packed)
+            scale_bufs.append(scales)
+            ids_bufs.append(shard_ids_pad)
+            prec_bufs.append(pr)
+            del packed, scales
         index.vectors_s = _place_lib_blocks(
-            mesh, vec_blocks, _list_spec(mesh, 2)
+            mesh, vec_bufs, _list_spec(mesh, 2)
         )
+        del vec_bufs
         index.ids_s = _place_lib_blocks(
-            mesh, ids_blocks, _list_spec(mesh, 1)
+            mesh, ids_bufs, _list_spec(mesh, 1)
         )
         index.prec_s = _place_lib_blocks(
-            mesh, prec_blocks, _list_spec(mesh, 1)
+            mesh, prec_bufs, _list_spec(mesh, 1)
         )
         index.scales_s = _place_lib_blocks(
-            mesh, scale_blocks, _list_spec(mesh, 1)
+            mesh, scale_bufs, _list_spec(mesh, 1)
         )
         index.centroids_s = jax.device_put(
             jnp.asarray(centroids), NamedSharding(mesh, P())
@@ -469,20 +903,23 @@ class ShardedIvfIndex:
 
     @staticmethod
     def _train_centroids_sharded(
-        mesh: Mesh, vectors: np.ndarray, num_list: int, seed: int,
+        mesh: Mesh, get_rows, n: int, num_list: int, seed: int,
         n_iter: int,
     ) -> np.ndarray:
-        """Sharded spherical k-means on a FAISS-style subsample."""
+        """Sharded spherical k-means on a FAISS-style subsample fetched
+        through the row accessor (same subsample rows as the resident
+        build given the same seed)."""
         from ann_solo_tpu.index.ivf import _TRAIN_POINTS_PER_CENTROID
 
-        n = len(vectors)
         cap_train = num_list * _TRAIN_POINTS_PER_CENTROID
         rng = np.random.RandomState(seed + 1)
         if n > cap_train:
             rows = np.sort(rng.choice(n, size=cap_train, replace=False))
-            train = vectors[rows]
         else:
-            train = vectors
+            rows = np.arange(n)
+        train = np.asarray(
+            get_rows(jnp.asarray(rows.astype(np.int32))), np.float32
+        )
         rng_init = np.random.RandomState(seed)
         init_rows = rng_init.choice(
             len(train), size=min(num_list, len(train)), replace=False
@@ -558,7 +995,14 @@ class ShardedIvfIndex:
         """Sharded search returning global DEVICE arrays (dp-sharded):
         downstream device-side rescoring consumes them without a host
         round trip.  `queries` may be NumPy or an (already dp-sharded)
-        device array."""
+        device array.
+
+        Scale-regime indexes run in query super-tiles bounding the
+        per-device probe-gather score block to `_PROBE_SCORE_BYTES`;
+        probe-width overflow (a query whose probed lists concentrate
+        on one shard beyond the static width) is detected on device
+        and repaired through the exact chunked program -- the same
+        structure as the single-chip dropped-coverage rerun."""
         num_probe = int(num_probe or self.num_probe)
         b = len(queries)
         if b == 0:
@@ -570,81 +1014,116 @@ class ShardedIvfIndex:
             q_prec = np.zeros(b, np.float32)
             tol_val = 0.0
         dp = self.mesh.shape["dp"]
-        b_pad = -(-b // dp) * dp
+        k_scan = self.redundancy * k
         queries_d = jnp.asarray(queries, jnp.float32)
+        if queries_d.shape[-1] != self.dim:
+            queries_d = jnp.pad(
+                queries_d,
+                ((0, 0), (0, self.dim - queries_d.shape[-1])),
+            )
         q_prec_d = jnp.asarray(q_prec, jnp.float32)
-        if b_pad != b:
-            queries_d = jnp.pad(queries_d, ((0, b_pad - b), (0, 0)))
-            q_prec_d = jnp.pad(q_prec_d, (0, b_pad - b))
-        queries_s = jax.device_put(
-            queries_d, NamedSharding(self.mesh, P("dp", None))
+
+        # Super-tile size: bound the scale-regime per-device score
+        # block; fullscan indexes run the whole batch in one call
+        # (their transient is tiled inside the program).
+        regime0, w0, _, _ = self._regime_params(
+            max(1, _next_pow2(-(-b // dp))), num_probe, k_scan
         )
-        q_prec_s = jax.device_put(
-            q_prec_d, NamedSharding(self.mesh, P("dp"))
+        if regime0 == "probe":
+            per_q = max(w0 * self.cap * 4, 1)
+            tq_l = max(
+                min(8, _next_pow2(-(-b // dp))),
+                _next_pow2(_PROBE_SCORE_BYTES // per_q + 1) // 2,
+            )
+            tq = tq_l * dp
+        elif regime0 == "chunked":
+            tq = dp * max(
+                1, _next_pow2(min(-(-b // dp), _ivf._CHUNK_TQ))
+            )
+        else:
+            tq = dp * _next_pow2(-(-b // dp))
+        out_ids, out_scores = [], []
+        self._last_overflow = 0
+        for start in range(0, b, tq):
+            stop = min(start + tq, b)
+            n = stop - start
+            n_pad = dp * _next_pow2(-(-n // dp))
+            qt = queries_d[start:stop]
+            qpt = q_prec_d[start:stop]
+            if n_pad != n:
+                qt = jnp.pad(qt, ((0, n_pad - n), (0, 0)))
+                qpt = jnp.pad(qpt, (0, n_pad - n))
+            ids_t, scores_t = self._search_tile(
+                qt, qpt, k, num_probe, k_scan, charge, tol_val, tol_mode
+            )
+            out_ids.append(ids_t[:n])
+            out_scores.append(scores_t[:n])
+        if len(out_ids) == 1:
+            return out_ids[0], out_scores[0]
+        return jnp.concatenate(out_ids), jnp.concatenate(out_scores)
+
+    def _search_tile(
+        self, qt, qpt, k: int, num_probe: int, k_scan: int,
+        charge: float, tol_val: float, tol_mode: str,
+    ):
+        """One padded super-tile through the shard_map program, with
+        the probe-width overflow repair."""
+        mesh = self.mesh
+        dp = mesh.shape["dp"]
+        la = _list_axes(mesh)
+        sizes = tuple(mesh.shape[a] for a in la)
+        b_l = qt.shape[0] // dp
+        regime, w, chunk_lists, interpret = self._regime_params(
+            b_l, num_probe, k_scan
         )
-        impl = (
-            _multislice_ivf_impl if "dcn" in self.mesh.axis_names
-            else _sharded_ivf_impl
-        )
-        ids, scores = impl(
-            self.mesh, queries_s, q_prec_s,
+        qt_s = jax.device_put(qt, NamedSharding(mesh, P("dp", None)))
+        qpt_s = jax.device_put(qpt, NamedSharding(mesh, P("dp")))
+        ids, scores, overflow = _sharded_ivf_impl(
+            mesh, qt_s, qpt_s,
             self.vectors_s, self.ids_s, self.prec_s, self.scales_s,
             self.centroids_s,
             num_probe, k, self.lists_per_shard,
             float(charge), float(tol_val), tol_mode,
-            self.redundancy * k,
+            k_scan, la, sizes, regime, w, chunk_lists, interpret,
         )
-        return ids[:b], scores[:b]
-
-
-@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12, 13, 14))
-def _multislice_ivf_impl(
-    mesh, queries, query_prec, padded_vectors, padded_ids, padded_prec,
-    padded_scales, centroids,
-    num_probe: int, k: int, lists_per_shard: int,
-    charge: float, tol_val: float, tol_mode: str,
-    k_scan: int = 0,
-):
-    """Sharded IVF scan with lists partitioned over ('dcn', 'lib').
-
-    The within-slice merge rides ICI; the across-slice merge is one
-    k-entry all-gather on DCN (BASELINE.md 100M+ north star; see
-    mesh.make_multislice_mesh for the axis convention)."""
-    in_specs = [
-        P("dp", None),  # queries (replicated over dcn/lib)
-        P("dp"),
-        P(("dcn", "lib"), None, None),  # lists over slices x chips
-        P(("dcn", "lib"), None),
-        P(("dcn", "lib"), None),
-        P(("dcn", "lib"), None),  # dequantization scales
-        P(None, None),  # centroids replicated
-    ]
-    args = [
-        queries, query_prec, padded_vectors, padded_ids, padded_prec,
-        padded_scales, centroids,
-    ]
-    body = partial(
-        _local_ivf_scan,
-        num_probe=num_probe,
-        k=k,
-        lists_per_shard=lists_per_shard,
-        charge=charge,
-        tol_val=tol_val,
-        tol_mode=tol_mode,
-        k_scan=k_scan,
-        list_axes=("dcn", "lib"),
-        list_axis_sizes=(
-            mesh.shape["dcn"], mesh.shape["lib"]
-        ),
-    )
-    fn = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=tuple(in_specs),
-        out_specs=(P("dp", None), P("dp", None)),
-        check_vma=False,
-    )
-    return fn(*args)
+        if regime != "probe" or w >= min(
+            num_probe, self.lists_per_shard
+        ):
+            return ids, scores
+        flags_np = np.asarray(overflow)  # one small download
+        n_retry = int(flags_np.sum())
+        self._last_overflow += n_retry
+        if n_retry == 0:
+            return ids, scores
+        logger.debug(
+            "Sharded probe-width overflow for %d/%d queries; chunked "
+            "rerun", n_retry, len(flags_np),
+        )
+        retry_rows = np.nonzero(flags_np)[0]
+        n_pad = dp * _next_pow2(-(-n_retry // dp))
+        rows = np.concatenate(
+            [retry_rows, np.full(n_pad - n_retry, retry_rows[0])]
+        ).astype(np.int32)
+        rows_d = jnp.asarray(rows)
+        _, chunk_lists = _ivf.chunked_scan_params(
+            self.lists_per_shard, self.cap,
+            min(num_probe, self.lists_per_shard), k_scan, n_pad // dp,
+        )
+        r_ids, r_scores, _ = _sharded_ivf_impl(
+            mesh,
+            jax.device_put(
+                qt[rows_d], NamedSharding(mesh, P("dp", None))
+            ),
+            jax.device_put(qpt[rows_d], NamedSharding(mesh, P("dp"))),
+            self.vectors_s, self.ids_s, self.prec_s, self.scales_s,
+            self.centroids_s,
+            num_probe, k, self.lists_per_shard,
+            float(charge), float(tol_val), tol_mode,
+            k_scan, la, sizes, "chunked", 0, chunk_lists, False,
+        )
+        ids = ids.at[rows_d].set(r_ids)
+        scores = scores.at[rows_d].set(r_scores)
+        return ids, scores
 
 
 def multislice_ivf_search(
@@ -658,58 +1137,13 @@ def multislice_ivf_search(
     tol_val: float = 0.0,
     tol_mode: str = "Da",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Search an IvfIndex sharded over a ('dcn', 'dp', 'lib') mesh."""
-    num_probe = int(num_probe or index.num_probe)
-    n_lists = index.padded_vectors.shape[0]
-    n_shards = mesh.shape["dcn"] * mesh.shape["lib"]
-    if n_lists % n_shards != 0:
-        raise ValueError(
-            f"num_list={n_lists} must divide {n_shards} list shards"
-        )
-    b = len(queries)
-    queries = np.asarray(queries, np.float32)
-    if q_prec is None:
-        q_prec = np.zeros(b, np.float32)
-        tol_val = 0.0
-    q_prec = np.asarray(q_prec, np.float32)
-    dp = mesh.shape["dp"]
-    b_pad = -(-b // dp) * dp
-    if b_pad != b:
-        queries = np.concatenate(
-            [queries, np.zeros((b_pad - b, queries.shape[1]), np.float32)]
-        )
-        q_prec = np.concatenate([q_prec, np.zeros(b_pad - b, np.float32)])
-    list_spec = NamedSharding(mesh, P(("dcn", "lib"), None, None))
-    ids, scores = _multislice_ivf_impl(
-        mesh,
-        jax.device_put(
-            jnp.asarray(queries), NamedSharding(mesh, P("dp", None))
-        ),
-        jax.device_put(
-            jnp.asarray(q_prec), NamedSharding(mesh, P("dp"))
-        ),
-        jax.device_put(jnp.asarray(index.padded_vectors), list_spec),
-        jax.device_put(
-            jnp.asarray(index.padded_ids),
-            NamedSharding(mesh, P(("dcn", "lib"), None)),
-        ),
-        jax.device_put(
-            jnp.asarray(index.padded_prec, jnp.float32),
-            NamedSharding(mesh, P(("dcn", "lib"), None)),
-        ),
-        jax.device_put(
-            jnp.asarray(index.padded_scales, jnp.float32),
-            NamedSharding(mesh, P(("dcn", "lib"), None)),
-        ),
-        jax.device_put(
-            jnp.asarray(index.centroids, jnp.float32),
-            NamedSharding(mesh, P()),
-        ),
-        num_probe, k, n_lists // n_shards,
-        float(charge), float(tol_val), tol_mode,
-        getattr(index, "redundancy", 1) * k,
+    """Search an IvfIndex sharded over a ('dcn', 'dp', 'lib') mesh.
+
+    Convenience wrapper over ShardedIvfIndex (which callers should hold
+    directly to keep the placed blocks resident)."""
+    return ShardedIvfIndex(mesh, index).search_with_scores(
+        queries, k, num_probe, q_prec, charge, tol_val, tol_mode
     )
-    return np.asarray(ids)[:b], np.asarray(scores)[:b]
 
 
 def sharded_ivf_search(

@@ -111,6 +111,12 @@ def main():
     # cold program is one roll of the compile-service stall die
     # (intermittent ~140-400 s on one first-use program, see STATUS).
     t0 = time.perf_counter()
+    # The one-shared-program rationale above only holds when the last
+    # chunk has the same shape as every other (ADVICE r4).
+    assert N_LIBRARY % N_QUERIES == 0, (
+        "library leg must chunk evenly at N_QUERIES to share one "
+        "compiled vectorize program"
+    )
     chunks = []
     for start in range(0, N_LIBRARY, N_QUERIES):
         chunks.append(

@@ -135,8 +135,6 @@ def main():
     )
 
     for c_chunk in (16, 32, 64):
-        if 65536 // B < c_chunk and c_chunk * B > 262144:
-            continue
         t_old = timeit(lambda: np.asarray(R._stage1_bounds(
             q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
             cand, FRAG_TOL, NUM_SHIFTS, True, c_chunk,
@@ -167,6 +165,14 @@ def main():
     ge = np.mean(ub_new >= ub_old - 1e-6)
     print(f"new >= old bound on {ge*100:.3f}% of pairs "
           f"(max old-new gap {np.max(ub_old - ub_new):.2e})")
+    if ge < 1.0:
+        # A reformulated bound falling below the shipped one beyond the
+        # documented 1e-6 widening tolerance is a soundness regression;
+        # fail loudly (same pattern as bench.py's hit-rate gate).
+        raise SystemExit(
+            f"soundness regression: nodiff0 bound below the shipped "
+            f"bound on {(1 - ge) * 100:.3f}% of pairs"
+        )
 
 
 if __name__ == "__main__":
