@@ -217,6 +217,29 @@ def _stage2_dense(
     return best_idx, best_score, cert, n_cands
 
 
+@jax.jit
+def _pack_results(best_idx, best_score, cert, n_cands):
+    """Pack stage-2's four (B,) results into ONE (4, B) int32 block.
+
+    Four serial np.asarray round trips on the tunneled backend cost
+    ~26 ms each at (B,) sizes; one packed download costs one.  f32
+    scores travel bit-cast."""
+    return jnp.stack([
+        best_idx.astype(jnp.int32),
+        best_score.astype(jnp.float32).view(jnp.int32),
+        cert.astype(jnp.int32),
+        n_cands.astype(jnp.int32),
+    ])
+
+
+def _unpack_results(packed):
+    best_idx = packed[0].astype(np.int64)
+    best_score = packed[1].view(np.float32).astype(np.float64)
+    cert = packed[2].astype(bool)
+    n_cands = packed[3]
+    return best_idx, best_score, cert, n_cands
+
+
 @functools.partial(jax.jit, static_argnums=(9, 10, 11, 12))
 def _greedy_pairs(
     q_mz, q_int, q_prec,
@@ -310,21 +333,33 @@ def rescore_candidate_matrix(
     use_pallas: bool,
     c_chunk: int = 0,
     top_t: int = 32,
+    t0: int = 8,
 ):
     """Exact per-query best candidate under greedy shifted-dot scoring.
 
-    Two-stage exact algorithm (reference scores every candidate with the
-    full C++ greedy, SpectrumMatch.cpp:92-111 -- O(C * K^2 * K) work;
-    here the expensive greedy runs on top_t << C candidates):
+    Escalating two-stage exact algorithm (reference scores every
+    candidate with the full C++ greedy, SpectrumMatch.cpp:92-111 --
+    O(C * K^2 * K) work; here the expensive greedy runs on t0 << C
+    candidates for most queries):
 
     1.  One cheap pass computes every pair's row-max-sum upper bound on
         the greedy score for the whole (B, C) matrix.
-    2.  `_stage2_dense`: each query's `top_t` highest-bound candidates
-        get the real greedy kernel (one fixed-shape device program for
-        all B x T pairs); winner = argmax, certified optimal when its
-        score reaches the `top_t`-th bound (everything excluded has a
-        smaller bound).  Certificate failures escalate to a full greedy
-        over all C candidates for that query (rare).
+    2.  `_stage2_dense` at tier `t0`: each query's `t0` highest-bound
+        candidates get the real greedy kernel (one fixed-shape device
+        program for all B x t0 pairs); winner = argmax, certified
+        optimal when its score reaches the `t0`-th bound (everything
+        excluded has a smaller bound).
+    3.  Certificate failures escalate: first the same stage-2 at
+        `top_t` on just the failed rows, then a full greedy over all C
+        candidates for residual failures (rare).
+
+    The greedy kernel is the stage cost (measured 0.7M pairs/s -- the
+    round-5 floor audit, tools/profile_rescore.py), so tier-1 at t0=8
+    cuts stage 2 from 181 to 68 ms/4096-query batch while the
+    certificate keeps results EXACT at any tier: the winner is always
+    the true greedy argmax.  Among exact score ties the winning
+    candidate is deterministic but may differ between tiers (the
+    reference's tie order is unspecified).
 
     Returns (best_idx (B,), best_score (B,), n_candidates (B,)) NumPy.
     """
@@ -336,25 +371,55 @@ def rescore_candidate_matrix(
         c_chunk = max(8, min(c, 65536 // max(b, 1)))
     # The candidate matrix never round-trips: stage 1 consumes it on
     # device, and stage 2 runs greedy + winner selection + certificate
-    # on device too -- only (B,)-sized results cross the tunnel.
+    # on device too -- only the packed (4, B) result block crosses the
+    # tunnel (one RPC, not four).
     cand_dev = jnp.asarray(cand_ids, jnp.int32)
     ub_d = _stage1_bounds(
         q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
         cand_dev, fragment_mz_tolerance, num_shifts,
         allow_shift, min(c_chunk, c),
     )
-    t = min(top_t, c)
-    best_idx_d, best_score_d, cert_d, n_cands_d = _stage2_dense(
+    t = min(max(1, t0), c)
+    outs = _stage2_dense(
         q_mz, q_int, q_prec, lib_mz, lib_int, lib_ann, lib_prec,
         ub_d, cand_dev, t,
         fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
     )
-    best_idx = np.asarray(best_idx_d).astype(np.int64)
-    best_score = np.asarray(best_score_d).astype(np.float64)
-    cert = np.asarray(cert_d)
-    n_cands = np.asarray(n_cands_d)
+    best_idx, best_score, cert, n_cands = _unpack_results(
+        np.asarray(_pack_results(*outs))
+    )
     failures = np.nonzero(~cert)[0]
-    if len(failures) and t < c:
+    t_mid = min(top_t, c)
+    if len(failures) and t < t_mid:
+        # Tier 2: rerun stage 2 at the wider `top_t` on the failed rows
+        # only (row gathers on device; rows pad to power-of-two buckets
+        # so recompiles stay bounded).
+        n_pad = 1
+        while n_pad < len(failures):
+            n_pad *= 2
+        rows = np.concatenate(
+            [failures, np.full(n_pad - len(failures), failures[0])]
+        ).astype(np.int32)
+        rows_d = jnp.asarray(rows)
+        outs2 = _stage2_dense(
+            jnp.take(q_mz, rows_d, axis=0),
+            jnp.take(q_int, rows_d, axis=0),
+            jnp.take(q_prec, rows_d, axis=0),
+            lib_mz, lib_int, lib_ann, lib_prec,
+            jnp.take(ub_d, rows_d, axis=0),
+            jnp.take(cand_dev, rows_d, axis=0),
+            t_mid,
+            fragment_mz_tolerance, num_shifts, allow_shift, use_pallas,
+        )
+        idx2, score2, cert2, _ = _unpack_results(
+            np.asarray(_pack_results(*outs2))
+        )
+        keep = len(failures)
+        best_idx[failures] = idx2[:keep]
+        best_score[failures] = score2[:keep]
+        cert[failures] = cert2[:keep]
+        failures = failures[~cert2[:keep]]
+    if len(failures) and t_mid < c:
         # Full greedy over all C candidates for certificate failures
         # (rare: only their candidate rows are downloaded).
         cand_fail = np.asarray(cand_dev[jnp.asarray(failures)])

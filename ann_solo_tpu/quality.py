@@ -88,6 +88,15 @@ def _mztab_stats(path, truth, parsed) -> Dict:
         foreign_leak_rate=(
             foreign_accepted / n_foreign if n_foreign else 0.0
         ),
+        # Ground-truth false-discovery proportion among accepted SSMs --
+        # the number the nominal q-value threshold claims to control.
+        # QUALITY_r04 measured ~0.02 at the 0.01 threshold in BOTH legs
+        # (identical bf/ann, so ratios are unaffected); see
+        # tools/fdr_leak_diag.py for the decoy-calibration diagnosis.
+        empirical_fdp=(
+            round(1.0 - correct / len(confident), 5)
+            if len(confident) else 0.0
+        ),
     )
     return stats
 
@@ -287,6 +296,10 @@ def main(args=None) -> int:
             )
     with open(fp_path, "w") as f:
         f.write(corpus_fp + "\n")
+    # Persist the ground truth for offline diagnostics
+    # (tools/fdr_leak_diag.py reads it next to the mzTab outputs).
+    with open(os.path.join(workdir, "truth.json"), "w") as f:
+        json.dump(truth, f)
     t_corpus = time.perf_counter() - t0
     logger.info(
         "Corpus: %d library spectra, %d queries (%.1fs)",
