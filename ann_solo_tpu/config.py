@@ -79,7 +79,13 @@ def _add_arguments(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument("--bin_size", default=0.04, type=float)
     parser.add_argument("--hash_len", default=800, type=int)
-    parser.add_argument("--num_candidates", default=1024, type=int)
+    # Shipped default 512 (reference: 1024, config.py:199-204).  The
+    # round-5 QUALITY ladder measured 256/512/1024 candidates
+    # IDs-identical at 1% FDR on the 200k corpus (ann/bf ratio
+    # 0.9884/0.9883/0.9883, QUALITY_r05_c{256,512}.json) -- candidate
+    # recall plateaus by k~100 (tools/probe_diag.py), so depth beyond
+    # 512 buys nothing and costs ~30% throughput (BENCH_r05).
+    parser.add_argument("--num_candidates", default=512, type=int)
     parser.add_argument("--batch_size", default=16384, type=int)
     parser.add_argument(
         "--num_list",

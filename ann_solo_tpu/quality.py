@@ -210,7 +210,10 @@ def main(args=None) -> int:
     parser.add_argument("--num_list", type=int, default=0,
                         help="0 = the shipped size-aware auto default")
     parser.add_argument("--num_probe", type=int, default=256)
-    parser.add_argument("--num_candidates", type=int, default=1024)
+    parser.add_argument("--num_candidates", type=int, default=512,
+                        help="the shipped default; the r05 ladder "
+                        "measured 256/512/1024 IDs-identical "
+                        "(QUALITY_r05_c{256,512}.json)")
     parser.add_argument("--index_dtype", default="int8",
                         choices=["bf16", "f32", "int8"],
                         help="IVF list storage precision for the ann "

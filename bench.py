@@ -48,7 +48,13 @@ NUM_LIST = 0  # 0 = the shipped size-aware auto default (-> 4096 here)
 NUM_PROBE = int(
     os.environ.get("ANN_SOLO_TPU_BENCH_PROBE", "256")
 )  # shipped default (QUALITY_r04 probe ladder)
-NUM_CANDIDATES = 1024
+# Shipped default since round 5: the QUALITY ladder measured
+# 256/512/1024 candidates IDs-identical at 1% FDR
+# (QUALITY_r05_c{256,512}.json); the headline runs at the SHIPPED
+# default and a secondary leg keeps the reference-default 1024 for
+# cross-round/baseline comparability.
+NUM_CANDIDATES = 512
+REF_CANDIDATES = 1024
 CHARGE = 2
 FRAG_TOL = 0.04
 OPEN_TOL_DA = 500.0
@@ -330,23 +336,22 @@ def main():
         f"ann-select={t_s2:.3f} rescore={t_s3:.3f}"
     )
 
-    # Tuned operating point: QUALITY_r03 probes showed num_candidates=512
-    # gives IDENTICAL IDs@1%FDR to the reference-default 1024 on the x2
-    # redundant index (the ANN recall curve plateaus by k~100), so the
-    # candidate depth is free throughput.  The headline metric above stays
-    # at the reference default for honest baseline comparison.
-    TUNED_CANDIDATES = 512
-    run_batch(*batches[0], k=TUNED_CANDIDATES)  # compile tuned variants
+    # Reference-default leg: the headline above runs at the SHIPPED
+    # 512-candidate default (quality-identical to 1024 at 1% FDR --
+    # QUALITY_r05_c512.json); this secondary leg keeps the reference's
+    # own 1024-candidate operating point measured for cross-round and
+    # baseline comparability.
+    run_batch(*batches[0], k=REF_CANDIDATES)  # compile 1024 variants
     t0 = time.perf_counter()
-    n_done_tuned = 0
+    n_done_ref = 0
     for batch in batches:
-        t_idx, _ = run_batch(*batch, k=TUNED_CANDIDATES)
-        n_done_tuned += N_QUERIES
-    tuned_qps = n_done_tuned / (time.perf_counter() - t0)
-    tuned_hit = float(np.mean(t_idx == batch_rows[-1]))
+        t_idx, _ = run_batch(*batch, k=REF_CANDIDATES)
+        n_done_ref += N_QUERIES
+    ref_qps = n_done_ref / (time.perf_counter() - t0)
+    ref_hit = float(np.mean(t_idx == batch_rows[-1]))
     log(
-        f"tuned ({TUNED_CANDIDATES} candidates): {tuned_qps:.1f} "
-        f"queries/sec/chip, hit rate {tuned_hit:.3f}"
+        f"reference-default ({REF_CANDIDATES} candidates): {ref_qps:.1f} "
+        f"queries/sec/chip, hit rate {ref_hit:.3f}"
     )
 
     final_hit_rate = float(np.mean(best_idx == batch_rows[-1]))
@@ -383,8 +388,8 @@ def main():
             {
                 "metric": "iPRG2012-scale open-search throughput "
                 f"(131k library, IVF {index.num_list}/{NUM_PROBE} "
-                f"fused window, {BENCH_DTYPE} storage, 1024 "
-                "candidates, shifted dot)",
+                f"fused window, {BENCH_DTYPE} storage, "
+                f"{NUM_CANDIDATES} candidates, shifted dot)",
                 "value": round(qps, 2),
                 "unit": "queries/sec/chip",
                 "vs_baseline": round(qps / REFERENCE_QPS, 2),
@@ -417,9 +422,10 @@ def main():
                 "self_match_hit_rate": round(final_hit_rate, 3),
                 "hit_rate_gate": HIT_RATE_GATE,
                 "hit_rate_gate_passed": gate_passed,
-                "tuned_num_candidates": TUNED_CANDIDATES,
-                "tuned_queries_per_sec": round(tuned_qps, 2),
-                "tuned_self_match_hit_rate": round(tuned_hit, 3),
+                "num_candidates": NUM_CANDIDATES,
+                "ref_default_num_candidates": REF_CANDIDATES,
+                "ref_default_queries_per_sec": round(ref_qps, 2),
+                "ref_default_self_match_hit_rate": round(ref_hit, 3),
             }
         )
     )

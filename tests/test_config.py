@@ -27,7 +27,9 @@ def test_defaults():
     # int8 shipped after QUALITY_r04_int8 measured IDs/accuracy/recall
     # identical to bf16 at 1/4 the scan traffic.
     assert config.index_dtype == "int8"
-    assert config.num_candidates == 1024
+    # 512 shipped after the r05 QUALITY ladder measured 256/512/1024
+    # candidates IDs-identical at 1% FDR (QUALITY_r05_c512.json).
+    assert config.num_candidates == 512
     assert config.batch_size == 16384
     assert config.scaling == "rank"
     assert config.model == "rf"
