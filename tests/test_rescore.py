@@ -103,3 +103,67 @@ def test_rescore_matrix_conflicted_matches():
 def test_rescore_matrix_tiny_top_t_still_exact():
     # top_t=1 forces the certificate/escalation path to do the work.
     _check(conflict=True, seed=11, top_t=1)
+
+
+def test_rescore_ladder_escalation_exact():
+    """Force tier-1 (t0) certificate failures so the escalation ladder
+    (t0 -> top_t -> full C) actually runs, and pin exactness.
+
+    Bound-inflating candidates: all query peaks sit within 2*tol of
+    each other, and each candidate has ONE strong peak in that window
+    -- the row-max-sum bound counts that peak once per query row
+    (k * q * c) while the one-to-one greedy can take it once (q * c),
+    so the t0-th bound exceeds every winner score and the certificate
+    must fail down the ladder."""
+    rng = np.random.default_rng(13)
+    b, n_lib, c, k = 8, 128, 64, 8
+    base = rng.uniform(400, 800, b).astype(np.float32)
+    q_mz = np.sort(
+        base[:, None] + rng.uniform(0, 0.03, (b, k)).astype(np.float32),
+        axis=1,
+    )
+    q_int = np.full((b, k), 1.0 / np.sqrt(k), np.float32)
+    q_prec = rng.uniform(400, 1200, b).astype(np.float32)
+    # Library: every spectrum has one strong peak near SOME query's
+    # cluster plus weak far-away peaks.
+    l_mz = np.sort(
+        rng.uniform(100, 1500, (n_lib, k)).astype(np.float32), axis=1
+    )
+    owners = rng.integers(0, b, n_lib)
+    strengths = rng.uniform(0.5, 1.0, n_lib).astype(np.float32)
+    for j in range(n_lib):
+        l_mz[j, k // 2] = base[owners[j]] + 0.015
+    l_mz = np.sort(l_mz, axis=1)
+    l_int = np.full((n_lib, k), 0.1, np.float32)
+    for j in range(n_lib):
+        pos = int(np.argmin(np.abs(l_mz[j] - (base[owners[j]] + 0.015))))
+        l_int[j, pos] = strengths[j]
+    l_int /= np.linalg.norm(l_int, axis=1, keepdims=True)
+    l_ann = np.zeros((n_lib, k), np.int32)
+    l_prec = q_prec[owners] + rng.uniform(-200, 200, n_lib).astype(
+        np.float32
+    )
+    cand = np.stack([
+        rng.permutation(np.nonzero(owners == i % b)[0])[:c]
+        if (owners == i % b).sum() >= c
+        else rng.integers(0, n_lib, c)
+        for i in range(b)
+    ]).astype(np.int32)
+    frag_tol, num_shifts, allow_shift = 0.02, 3, True
+    got_idx, got_score, _ = rescore_candidate_matrix(
+        jnp.asarray(q_mz), jnp.asarray(q_int), jnp.asarray(q_prec),
+        jnp.asarray(l_mz), jnp.asarray(l_int), jnp.asarray(l_ann),
+        jnp.asarray(l_prec),
+        jnp.asarray(cand), frag_tol, num_shifts, allow_shift,
+        use_pallas=False, top_t=16, t0=4,
+    )
+    exp_idx, exp_score = _reference_best(
+        (q_mz, q_int, None, q_prec),
+        (l_mz, l_int, l_ann, l_prec), cand, frag_tol, num_shifts,
+        allow_shift,
+    )
+    np.testing.assert_allclose(got_score, exp_score, rtol=1e-5, atol=1e-6)
+    differs = got_idx != exp_idx
+    assert not differs.any() or np.allclose(
+        got_score[differs], exp_score[differs]
+    )
