@@ -580,9 +580,13 @@ class ShardedIvfIndex:
         self.ids_s = jax.device_put(jnp.asarray(ids), spec2)
         self.prec_s = jax.device_put(jnp.asarray(prec), spec2)
         self.scales_s = jax.device_put(jnp.asarray(scales), spec2)
+        cents = np.asarray(index.centroids, np.float32)
+        if cents.shape[-1] != d_s:  # match the feature-axis padding
+            cents = np.pad(
+                cents, ((0, 0), (0, d_s - cents.shape[-1]))
+            )
         self.centroids_s = jax.device_put(
-            jnp.asarray(index.centroids, jnp.float32),
-            NamedSharding(mesh, P()),
+            jnp.asarray(cents), NamedSharding(mesh, P()),
         )
 
     def _init_params(
@@ -896,6 +900,10 @@ class ShardedIvfIndex:
         index.scales_s = _place_lib_blocks(
             mesh, scale_bufs, _list_spec(mesh, 1)
         )
+        if centroids.shape[-1] != d_s:  # match the feature-axis padding
+            centroids = np.pad(
+                centroids, ((0, 0), (0, d_s - centroids.shape[-1]))
+            )
         index.centroids_s = jax.device_put(
             jnp.asarray(centroids), NamedSharding(mesh, P())
         )

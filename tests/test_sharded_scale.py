@@ -57,12 +57,15 @@ def test_sharded_chunked_regime_identity(mesh, small_transient):
     """Chunked running-merge local scan == single-device results,
     bit-for-bit, window fused, int8 storage."""
     rng = np.random.default_rng(5)
-    v, prec = _corpus(rng)
+    # Non-128-aligned feature dim: the scale-regime placement must pad
+    # vectors, QUERIES, and CENTROIDS consistently (a missing centroid
+    # pad shipped briefly in round 5 and was caught by the dryrun).
+    v, prec = _corpus(rng, d=72)
     single = IvfIndex.build(
         v, Cfg(32, 12), precursor_mz=prec, storage_dtype=np.int8
     )
     sharded = ShardedIvfIndex(mesh, single)
-    assert sharded.scale_regime
+    assert sharded.scale_regime and sharded.dim == 128
     regime, _, chunk_lists, _ = sharded._regime_params(32, 12, 32)
     assert regime == "chunked" and chunk_lists < sharded.lists_per_shard
     q = v[rng.choice(len(v), 64, replace=False)]
