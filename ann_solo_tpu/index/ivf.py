@@ -81,6 +81,14 @@ _TRAIN_POINTS_PER_CENTROID = 256  # FAISS subsampling rule
 _STREAM_BUILD_SOURCE_BYTES = int(
     os.environ.get("ANN_SOLO_TPU_STREAM_BUILD_BYTES", 4 << 30)
 )
+# Indexes bigger than this follow the reference's one-resident-at-a-
+# time device policy (spectral_library.py:457-500): blocks spill to
+# host after build/save and other charges' device copies are evicted
+# when one is in use (the round-5 2.1M x 2-charge quality run OOMed
+# with both packed blocks + build scratch resident).
+_RESIDENT_INDEX_BYTES = int(
+    os.environ.get("ANN_SOLO_TPU_RESIDENT_INDEX_BYTES", 2 << 30)
+)
 
 
 def _next_pow2(n: int) -> int:
@@ -1533,6 +1541,37 @@ class IvfIndex:
             return -(-d // 128) * 128
         return d
 
+    def device_block_bytes(self) -> int:
+        """Bytes the index blocks occupy on device (device_dim padding
+        included) -- the quantity the engine's one-resident-at-a-time
+        policy budgets (reference: spectral_library.py:457-500 keeps a
+        single per-charge FAISS index resident)."""
+        l, cap = self.padded_ids.shape
+        itemsize = np.dtype(self.padded_vectors.dtype).itemsize
+        return l * cap * (self.device_dim * itemsize + 12)
+
+    def to_host(self):
+        """Move the index blocks to host arrays and drop device copies.
+
+        Called after multi-GB builds so the NEXT charge's build scratch
+        has the whole chip (the round-5 2.1M quality run OOMed with two
+        ~3 GB packed blocks + the streaming-build training subsample
+        resident together).  Cheap after `save()`: jax arrays cache
+        their host copy, so the np.asarray here reuses the download the
+        save already paid.  `device_arrays()` re-uploads lazily on the
+        next search."""
+        self.padded_vectors = np.asarray(self.padded_vectors)
+        self.padded_ids = np.asarray(self.padded_ids)
+        self.padded_prec = np.asarray(self.padded_prec)
+        self.padded_scales = np.asarray(self.padded_scales)
+        self.centroids = np.asarray(self.centroids)
+        self._device = None
+
+    def release_device(self):
+        """Drop the device copies (keeps host blocks if `to_host` ran;
+        a no-op when the blocks themselves are device arrays)."""
+        self._device = None
+
     def device_arrays(self):
         """Index blocks resident on the default device (uploaded once).
 
@@ -1904,6 +1943,12 @@ class IvfIndex:
             )
         index.store_fp = store_fp
         index.save(filename)
+        if index.device_block_bytes() > _RESIDENT_INDEX_BYTES:
+            # One-resident-at-a-time policy for multi-GB indexes
+            # (reference: spectral_library.py:457-500): free the device
+            # blocks so later per-charge builds get the whole chip; the
+            # host copy reuses the download save() just paid.
+            index.to_host()
         return index
 
     def save(self, filename: str) -> None:

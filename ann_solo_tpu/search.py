@@ -769,6 +769,22 @@ class SpectralLibrary:
                 np.pad(n_peaks, (0, pad)),
             )[:b]
         index = self._ann_indexes[charge]
+        # One-resident-at-a-time policy for multi-GB indexes (reference:
+        # spectral_library.py:457-500): before this charge's blocks
+        # upload, evict other charges' device copies so two ~3 GB
+        # packed blocks never sit on the chip together.  Queries group
+        # by charge, so evictions happen once per charge switch.
+        from ann_solo_tpu.index.ivf import _RESIDENT_INDEX_BYTES
+
+        if (
+            hasattr(index, "device_block_bytes")
+            and index.device_block_bytes() > _RESIDENT_INDEX_BYTES
+        ):
+            for other_charge, other in self._ann_indexes.items():
+                if other_charge != charge and hasattr(
+                    other, "release_device"
+                ):
+                    other.release_device()
         q_prec = np.asarray([s.precursor_mz for s in batch], np.float32)
         if hasattr(index, "search_device"):
             # Device-resident candidates: the rescorer consumes them
