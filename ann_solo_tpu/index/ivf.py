@@ -1541,6 +1541,24 @@ class IvfIndex:
             return -(-d // 128) * 128
         return d
 
+    @property
+    def device_cap(self) -> int:
+        """Slot-axis width of the DEVICE blocks.
+
+        Scale-regime indexes (chunked/probe-gather dispatch) upload
+        with the slot axis padded to a multiple of 128: the probe
+        kernel's Mosaic lane layout needs 128-aligned caps, and doing
+        the pad inside `_ivf_probe_scan_tile`'s jit materializes a
+        SECOND full-size copy of the block -- at the 2.1M x 2-charge
+        quality shape (cap 200 -> 256, 3.8 GB padded copy) that OOMed
+        the chip (round 5).  Padded slots are invalid everywhere
+        (ids -1); fullscan-regime indexes stay unpadded (extra lanes
+        would be pure scan-traffic regression)."""
+        l, cap = self.padded_ids.shape
+        if l * cap * 4 * _TILE_Q > _FULLSCAN_TRANSIENT:
+            return -(-cap // 128) * 128
+        return cap
+
     def device_block_bytes(self) -> int:
         """Bytes the index blocks occupy on device (device_dim padding
         included) -- the quantity the engine's one-resident-at-a-time
@@ -1583,7 +1601,40 @@ class IvfIndex:
         (SCALE 8M OOM, round 4)."""
         if self._device is None:
             dp = self.device_dim
-            vecs = jnp.asarray(self.padded_vectors)
+            cap_s = self.device_cap
+            vecs = self.padded_vectors
+            ids = self.padded_ids
+            prec = self.padded_prec
+            scales = self.padded_scales
+            cap = ids.shape[1]
+            if cap_s != cap:
+                # Slot-axis pad (scale regime, see `device_cap`).  Big
+                # indexes are host arrays here (`to_host` after build),
+                # so the pad happens host-side and the upload carries
+                # the aligned layout -- no device-side full-size copy.
+                if isinstance(vecs, np.ndarray):
+                    pad3 = ((0, 0), (0, cap_s - cap), (0, 0))
+                    pad2 = ((0, 0), (0, cap_s - cap))
+                    vecs = np.pad(vecs, pad3)
+                    ids = np.pad(
+                        np.asarray(ids), pad2, constant_values=-1
+                    )
+                    prec = np.pad(np.asarray(prec), pad2)
+                    scales = np.pad(
+                        np.asarray(scales), pad2, constant_values=1.0
+                    )
+                else:
+                    pad3 = ((0, 0), (0, cap_s - cap), (0, 0))
+                    pad2 = ((0, 0), (0, cap_s - cap))
+                    vecs = jnp.pad(jnp.asarray(vecs), pad3)
+                    ids = jnp.pad(
+                        jnp.asarray(ids), pad2, constant_values=-1
+                    )
+                    prec = jnp.pad(jnp.asarray(prec), pad2)
+                    scales = jnp.pad(
+                        jnp.asarray(scales), pad2, constant_values=1.0
+                    )
+            vecs = jnp.asarray(vecs)
             cents = jnp.asarray(self.centroids, jnp.float32)
             if vecs.shape[-1] != dp:
                 vecs = jnp.pad(
@@ -1595,9 +1646,9 @@ class IvfIndex:
                 )
             self._device = (
                 vecs,
-                jnp.asarray(self.padded_ids),
-                jnp.asarray(self.padded_prec),
-                jnp.asarray(self.padded_scales),
+                jnp.asarray(ids),
+                jnp.asarray(prec, jnp.float32),
+                jnp.asarray(scales, jnp.float32),
                 cents,
             )
         return self._device
@@ -2151,13 +2202,20 @@ class IvfIndex:
             )
 
             probe_env = os.environ.get("ANN_SOLO_TPU_PROBE_PALLAS", "1")
+            from ann_solo_tpu.ops.ivf_probe_pallas import (
+                probe_scan_max_queries,
+            )
+
             probe_ok = (
                 probe_env != "0"
                 and (use_pallas_default() or probe_env == "force")
                 and probe_scan_supported(
                     l, cap, dp, num_probe, k_scan,
                     np.dtype(self.padded_vectors.dtype),
-                    _next_pow2(min(b, _CHUNK_TQ)),
+                    max(8, min(
+                        _next_pow2(min(b, _CHUNK_TQ)),
+                        probe_scan_max_queries(min(num_probe, l)),
+                    )),
                 )
             )
             if probe_ok or l <= num_probe * _CHUNK_TQ:
@@ -2237,6 +2295,7 @@ class IvfIndex:
         oracle.
         """
         from ann_solo_tpu.ops.ivf_probe_pallas import (
+            probe_scan_max_queries,
             probe_scan_supported,
         )
         from ann_solo_tpu.ops.ivf_scan_pallas import (
@@ -2247,7 +2306,9 @@ class IvfIndex:
         vectors_d, ids_d, prec_d, scales_d, centroids_d = (
             self.device_arrays()
         )
-        l, cap, _ = self.padded_vectors.shape
+        # Chunk/score-block sizing must use the DEVICE slot width (the
+        # scale regime uploads cap padded to 128 -- see `device_cap`).
+        l, cap, _ = vectors_d.shape
         dp = vectors_d.shape[-1]
         probe_env = os.environ.get("ANN_SOLO_TPU_PROBE_PALLAS", "1")
         pallas_env = os.environ.get("ANN_SOLO_TPU_CHUNKED_PALLAS", "1")
@@ -2258,7 +2319,10 @@ class IvfIndex:
             and probe_scan_supported(
                 l, cap, dp, num_probe, k_scan,
                 np.dtype(self.padded_vectors.dtype),
-                _next_pow2(min(b, _CHUNK_TQ)),
+                max(8, min(
+                    _next_pow2(min(b, _CHUNK_TQ)),
+                    probe_scan_max_queries(min(num_probe, l)),
+                )),
             )
         )
         use_pallas = (
@@ -2284,6 +2348,10 @@ class IvfIndex:
         # list block itself (4 GB budget keeps per-chip-capacity
         # indexes viable).
         if use_probe:
+            from ann_solo_tpu.ops.ivf_probe_pallas import (
+                probe_scan_max_queries,
+            )
+
             p = min(num_probe, l)
             cap128 = -(-cap // 128) * 128
             tq = min(
@@ -2291,6 +2359,10 @@ class IvfIndex:
                 max(128, (512 << 20) // max(p * cap128 * 4, 1)),
             )
             tq = max(128, _next_pow2(tq + 1) // 2)  # floor to pow2
+            # The (B, P) probe table is a scalar-prefetched SMEM
+            # operand; shrink the tile under its budget (min 8: the
+            # kernel needs one bt group).
+            tq = max(8, min(tq, probe_scan_max_queries(p)))
         elif use_pallas:
             tq = _CHUNK_TQ
         else:

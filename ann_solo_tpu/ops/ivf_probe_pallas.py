@@ -52,6 +52,21 @@ import numpy as np
 # leave room for the query tile, meta rows, and the output block.
 _VMEM_BLOCK_BUDGET = 6 << 20
 _MAX_BT = 8
+# Scalar-prefetch budget: the (B, P) int32 probe table lives in SMEM
+# (~1 MB/core on v5e).  At B=1024 x P=256 the operand alone is 1 MB and
+# the kernel dies with RESOURCE_EXHAUSTED (round-5 2.1M quality run,
+# num_probe 256); callers clamp the query tile to this budget.
+_SMEM_PREFETCH_BUDGET = 512 << 10
+
+
+def probe_scan_max_queries(p: int) -> int:
+    """Largest power-of-two query tile whose (B, P) int32 probe table
+    fits the SMEM scalar-prefetch budget."""
+    cap = max(_SMEM_PREFETCH_BUDGET // max(p * 4, 1), 1)
+    b = 1
+    while b * 2 <= cap:
+        b *= 2
+    return b
 
 
 def probe_scan_bt(cap: int, d: int, itemsize: int, b: int) -> int:
@@ -82,6 +97,8 @@ def probe_scan_supported(
     p = min(num_probe, l)
     if p < 1 or p * cap128 > (1 << 22):
         return False  # (B, P * cap) f32 score block <= 16 MB / query
+    if b * p * 4 > _SMEM_PREFETCH_BUDGET:
+        return False  # probe table must fit SMEM (callers shrink B)
     return probe_scan_bt(cap128, d, np.dtype(dtype).itemsize, b) >= 1
 
 

@@ -625,6 +625,7 @@ class ShardedIvfIndex:
         batch of `b_l` queries -- the sharded mirror of
         `IvfIndex.search_device`'s dispatch."""
         from ann_solo_tpu.ops.ivf_probe_pallas import (
+            probe_scan_max_queries,
             probe_scan_supported,
         )
         from ann_solo_tpu.ops.shifted_dot_pallas import (
@@ -648,7 +649,8 @@ class ShardedIvfIndex:
             probe_env != "0"
             and pallas_ok
             and probe_scan_supported(
-                l_l, cap, d, w, k_scan, self.storage_dtype, b_l,
+                l_l, cap, d, w, k_scan, self.storage_dtype,
+                max(8, min(b_l, probe_scan_max_queries(w))),
             )
         )
         if use_probe:
@@ -1038,10 +1040,17 @@ class ShardedIvfIndex:
             max(1, _next_pow2(-(-b // dp))), num_probe, k_scan
         )
         if regime0 == "probe":
+            from ann_solo_tpu.ops.ivf_probe_pallas import (
+                probe_scan_max_queries,
+            )
+
             per_q = max(w0 * self.cap * 4, 1)
             tq_l = max(
                 min(8, _next_pow2(-(-b // dp))),
-                _next_pow2(_PROBE_SCORE_BYTES // per_q + 1) // 2,
+                min(
+                    _next_pow2(_PROBE_SCORE_BYTES // per_q + 1) // 2,
+                    probe_scan_max_queries(w0),  # SMEM probe table
+                ),
             )
             tq = tq_l * dp
         elif regime0 == "chunked":

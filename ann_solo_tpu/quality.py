@@ -235,6 +235,12 @@ def main(args=None) -> int:
                         "independent, so operating-point sweeps only "
                         "pay it once; requires a stable --workdir and "
                         "--seed)")
+    parser.add_argument("--reuse-corpus", action="store_true",
+                        help="skip corpus generation when --workdir "
+                        "already holds library.splib / queries.mgf / "
+                        "truth.json (multi-million-row corpora cost "
+                        "~25 min of host generation); the files are "
+                        "trusted as-is -- pair with --reuse-bf")
     parsed = parser.parse_args(args)
 
     logging.basicConfig(
@@ -254,17 +260,32 @@ def main(args=None) -> int:
 
     rng = np.random.default_rng(parsed.seed)
     t0 = time.perf_counter()
-    logger.info(
-        "Generating corpus: %d peptides x 2 charges, %d queries",
-        parsed.n_peptides, parsed.n_queries,
-    )
-    library, queries, truth = make_corpus(
-        rng, parsed.n_peptides, parsed.n_queries
-    )
     lib_path = os.path.join(workdir, "library.splib")
     query_path = os.path.join(workdir, "queries.mgf")
-    write_splib(library, lib_path)
-    write_mgf(queries, query_path)
+    truth_path = os.path.join(workdir, "truth.json")
+    reuse_corpus = (
+        parsed.reuse_corpus
+        and all(os.path.isfile(p)
+                for p in (lib_path, query_path, truth_path))
+    )
+    if reuse_corpus:
+        logger.info("Reusing corpus files in %s", workdir)
+        with open(truth_path) as f:
+            truth = json.load(f)
+        library = queries = None
+        n_library = parsed.n_peptides  # make_library: 1 spectrum each
+        n_queries = len(truth)
+    else:
+        logger.info(
+            "Generating corpus: %d peptides x 2 charges, %d queries",
+            parsed.n_peptides, parsed.n_queries,
+        )
+        library, queries, truth = make_corpus(
+            rng, parsed.n_peptides, parsed.n_queries
+        )
+        n_library, n_queries = len(library), len(queries)
+        write_splib(library, lib_path)
+        write_mgf(queries, query_path)
 
     # --reuse-bf guard: bf.mztab is only comparable to THIS corpus.
     # Generation is seeded but parameter-dependent (--n-peptides /
@@ -276,48 +297,49 @@ def main(args=None) -> int:
     # of every library and query spectrum.
     import hashlib
 
-    corpus_fp = hashlib.md5(
-        b"".join(
-            f"{s.identifier}:{s.precursor_charge}:"
-            f"{s.precursor_mz:.4f}".encode()
-            for s in list(library) + list(queries)
-        )
-    ).hexdigest()
     fp_path = os.path.join(workdir, "corpus_fp.txt")
     bf_path = os.path.join(workdir, "bf.mztab")
-    if parsed.reuse_bf and os.path.isfile(bf_path):
-        recorded = None
-        if os.path.isfile(fp_path):
-            with open(fp_path) as f:
-                recorded = f.read().strip()
-        if recorded != corpus_fp:
-            parser.error(
-                f"--reuse-bf: bf.mztab in {workdir} was built from a "
-                f"different corpus (fingerprint {recorded} != "
-                f"{corpus_fp}); re-run without --reuse-bf or match the "
-                "original --n-peptides/--n-queries/--seed"
+    if not reuse_corpus:
+        corpus_fp = hashlib.md5(
+            b"".join(
+                f"{s.identifier}:{s.precursor_charge}:"
+                f"{s.precursor_mz:.4f}".encode()
+                for s in list(library) + list(queries)
             )
-    with open(fp_path, "w") as f:
-        f.write(corpus_fp + "\n")
-    # Persist the ground truth for offline diagnostics
-    # (tools/fdr_leak_diag.py reads it next to the mzTab outputs).
-    with open(os.path.join(workdir, "truth.json"), "w") as f:
-        json.dump(truth, f)
+        ).hexdigest()
+        if parsed.reuse_bf and os.path.isfile(bf_path):
+            recorded = None
+            if os.path.isfile(fp_path):
+                with open(fp_path) as f:
+                    recorded = f.read().strip()
+            if recorded != corpus_fp:
+                parser.error(
+                    f"--reuse-bf: bf.mztab in {workdir} was built from "
+                    f"a different corpus (fingerprint {recorded} != "
+                    f"{corpus_fp}); re-run without --reuse-bf or match "
+                    "the original --n-peptides/--n-queries/--seed"
+                )
+        with open(fp_path, "w") as f:
+            f.write(corpus_fp + "\n")
+        # Persist the ground truth for offline diagnostics
+        # (tools/fdr_leak_diag.py reads it next to the mzTab outputs).
+        with open(truth_path, "w") as f:
+            json.dump(truth, f)
     t_corpus = time.perf_counter() - t0
     logger.info(
         "Corpus: %d library spectra, %d queries (%.1fs)",
-        len(library), len(queries), t_corpus,
+        n_library, n_queries, t_corpus,
     )
 
     from ann_solo_tpu.cli import main as cli_main
 
     results = {
         "corpus": {
-            "n_library_spectra": len(library),
+            "n_library_spectra": n_library,
             # --add_decoys interleaves one shuffled decoy per target, so
             # the searched library holds twice this many spectra.
-            "n_library_spectra_with_decoys": 2 * len(library),
-            "n_queries": len(queries),
+            "n_library_spectra_with_decoys": 2 * n_library,
+            "n_queries": n_queries,
             "n_foreign": sum(1 for v in truth.values() if v is None),
             "seed": parsed.seed,
         },
