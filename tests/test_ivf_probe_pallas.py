@@ -190,3 +190,29 @@ def test_probe_identity_redundant_window(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(got_s), np.asarray(want_s)
     )
+
+
+def test_probe_table_smem_budget():
+    """The (B, P) int32 probe table is a scalar-prefetched SMEM operand
+    (~1 MB/core); the support check must reject tiles over the budget
+    and `probe_scan_max_queries` must return the largest viable pow2
+    tile (round-5 regression: B=1024 x P=256 = 1 MB OOMed the core)."""
+    import numpy as np
+
+    from ann_solo_tpu.ops.ivf_probe_pallas import (
+        _SMEM_PREFETCH_BUDGET,
+        probe_scan_max_queries,
+        probe_scan_supported,
+    )
+
+    p = 256
+    b_max = probe_scan_max_queries(p)
+    assert b_max * p * 4 <= _SMEM_PREFETCH_BUDGET
+    assert 2 * b_max * p * 4 > _SMEM_PREFETCH_BUDGET
+    # The round-5 failing shape: rejected at B=1024, accepted at b_max.
+    assert not probe_scan_supported(
+        16384, 256, 896, p, 1024, np.dtype(np.int8), 1024
+    )
+    assert probe_scan_supported(
+        16384, 256, 896, p, 1024, np.dtype(np.int8), b_max
+    )
