@@ -98,15 +98,17 @@ def _add_arguments(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument(
         "--num_probe",
-        default=256,
+        default=512,
         type=int,
         help="IVF lists probed per query (reference default 128, "
-        "config.py:179-211 there at num_list=256 -- 50%% of lists; "
-        "with the auto num_list ~4096 at corpus scale, the QUALITY_r04 "
-        "probed-list recall ladder puts 256 at 0.97 candidate recall "
-        "and ids ratio ~0.98, while the bench-regime full-library "
-        "tile scan's cost is dominated by the all-list einsum, not "
-        "the probe mask, so deeper probing is nearly free there)",
+        "config.py:179-211 there at num_list=256 -- 50%% of lists). "
+        "Shipped 512 since round 5: with SOAR assignment the QUALITY "
+        "probe ladder measured ann/bf IDs ratio 0.9883 (p256) -> "
+        "0.9949 (p512) at a 3%% bench throughput cost "
+        "(QUALITY_r05_p512.json; the bench-regime full-library tile "
+        "scan is einsum-bound, so deeper probing is nearly free "
+        "there).  At multi-million-row scale keep probe/num_list "
+        "around 1/8-1/16 (QUALITY_r05_2m_p1024 vs _p256).",
     )
     parser.add_argument(
         "--no_gpu",

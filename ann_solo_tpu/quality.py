@@ -209,7 +209,9 @@ def main(args=None) -> int:
     parser.add_argument("--open-tolerance", type=float, default=300.0)
     parser.add_argument("--num_list", type=int, default=0,
                         help="0 = the shipped size-aware auto default")
-    parser.add_argument("--num_probe", type=int, default=256)
+    parser.add_argument("--num_probe", type=int, default=512,
+                        help="the shipped default (round-5 ladder: "
+                        "ann/bf 0.9949 at p512 vs 0.9883 at p256)")
     parser.add_argument("--num_candidates", type=int, default=512,
                         help="the shipped default; the r05 ladder "
                         "measured 256/512/1024 IDs-identical "

@@ -46,8 +46,8 @@ K_PEAKS = 50
 HASH_LEN = 800
 NUM_LIST = 0  # 0 = the shipped size-aware auto default (-> 4096 here)
 NUM_PROBE = int(
-    os.environ.get("ANN_SOLO_TPU_BENCH_PROBE", "256")
-)  # shipped default (QUALITY_r04 probe ladder)
+    os.environ.get("ANN_SOLO_TPU_BENCH_PROBE", "512")
+)  # shipped default (round-5 probe ladder: ann/bf 0.9949 at ~3% cost)
 # Shipped default since round 5: the QUALITY ladder measured
 # 256/512/1024 candidates IDs-identical at 1% FDR
 # (QUALITY_r05_c{256,512}.json); the headline runs at the SHIPPED

@@ -23,7 +23,9 @@ def test_defaults():
     assert config.num_list == 0  # 0 = size-aware auto (resolve_num_list)
     # Retuned from the reference's 128 (QUALITY_r04 probe ladder: 256
     # crosses 0.97 candidate recall at the auto num_list).
-    assert config.num_probe == 256
+    # 512 shipped in round 5: ann/bf 0.9949 at ~3% bench cost
+    # (QUALITY_r05_p512.json).
+    assert config.num_probe == 512
     # int8 shipped after QUALITY_r04_int8 measured IDs/accuracy/recall
     # identical to bf16 at 1/4 the scan traffic.
     assert config.index_dtype == "int8"
