@@ -107,6 +107,35 @@ def test_sharded_probe_regime_identity(mesh, small_transient, monkeypatch):
     assert sharded._last_overflow == 0
 
 
+def test_sharded_probe_single_shard_fast_path(small_transient, monkeypatch):
+    """On a single-list-shard mesh the probe regime takes the fast path
+    (coarse top-k IS the compaction -- no probed bitmap, no compaction
+    sort) and must stay bit-identical to the single-device index."""
+    monkeypatch.setenv("ANN_SOLO_TPU_PROBE_PALLAS", "force")
+    rng = np.random.default_rng(23)
+    v, prec = _corpus(rng)
+    single = IvfIndex.build(
+        v, Cfg(32, 12), precursor_mz=prec, storage_dtype=np.int8
+    )
+    mesh1 = make_mesh(2, dp_size=2)  # lib axis size 1: one list shard
+    sharded = ShardedIvfIndex(mesh1, single)
+    assert sharded.n_list_shards == 1
+    regime, w, _, interpret = sharded._regime_params(32, 12, 32)
+    assert regime == "probe" and interpret
+    assert w == 12  # single shard: full probe width, overflow impossible
+    q = v[rng.choice(len(v), 64, replace=False)]
+    qp = prec[rng.choice(len(v), 64)]
+    ids_p, sc_p = sharded.search_with_scores(
+        q, 16, num_probe=12, q_prec=qp, charge=2.0, tol_val=300.0
+    )
+    ids_s, sc_s = single.search_with_scores(
+        q, 16, num_probe=12, q_prec=qp, charge=2.0, tol_val=300.0
+    )
+    np.testing.assert_array_equal(ids_p, ids_s)
+    np.testing.assert_allclose(sc_p, sc_s, rtol=1e-5, atol=1e-6)
+    assert sharded._last_overflow == 0
+
+
 def test_sharded_probe_overflow_repair(mesh, small_transient, monkeypatch):
     """A query whose probed lists CONCENTRATE on one shard beyond the
     static probe width must be flagged and repaired through the exact
