@@ -98,17 +98,20 @@ def _add_arguments(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument(
         "--num_probe",
-        default=512,
+        default=0,
         type=int,
-        help="IVF lists probed per query (reference default 128, "
-        "config.py:179-211 there at num_list=256 -- 50%% of lists). "
-        "Shipped 512 since round 5: with SOAR assignment the QUALITY "
-        "probe ladder measured ann/bf IDs ratio 0.9883 (p256) -> "
-        "0.9949 (p512) at a 3%% bench throughput cost "
-        "(QUALITY_r05_p512.json; the bench-regime full-library tile "
-        "scan is einsum-bound, so deeper probing is nearly free "
-        "there).  At multi-million-row scale keep probe/num_list "
-        "around 1/8-1/16 (QUALITY_r05_2m_p1024 vs _p256).",
+        help="IVF lists probed per query; <= 0 = size-aware auto "
+        "(num_list/8 clamped to [512, 2048], never past num_list -- "
+        "index.ivf.resolve_num_probe).  The reference default is a "
+        "fixed 128 at num_list=256 (config.py:179-211 there -- 50%% "
+        "of lists); a fixed count tuned at one scale is stale at "
+        "another, so the auto rule pins the measured 1/8 ratio "
+        "instead: at the 200k canonical scale it reproduces the "
+        "round-5 probe-ladder winner p=512 exactly (ann/bf IDs ratio "
+        "0.9949 at a 3%% bench throughput cost, "
+        "QUALITY_r05_p512.json), while at 2.1M rows the shallower "
+        "fixed depths measured 0.947 (1/16) and 0.923 (1/64) "
+        "(QUALITY_r05_2m_p1024 vs _p256).",
     )
     parser.add_argument(
         "--no_gpu",

@@ -406,6 +406,33 @@ def resolve_num_list(num_list: int, n: int) -> int:
     return int(min(1 << exp, 65536))
 
 
+def resolve_num_probe(num_probe: int, num_list: int) -> int:
+    """Size-aware probe depth: ``num_probe <= 0`` selects num_list/8,
+    clamped to [512, 2048] (and never more than num_list — small
+    libraries probe everything, i.e. search exactly).
+
+    The 1/8 ratio is the measured quality knee on this corpus family:
+    at the 200k canonical scale (num_list=4096) it reproduces the
+    round-5 probe-ladder winner p=512 exactly (ann/bf IDs ratio 0.9949,
+    QUALITY_r05_p512.json), and at 2.1M rows (num_list=16384) the
+    shallower fixed default was the dominant quality cost — 1/16
+    probing measured 0.947 and 1/64 probing 0.923
+    (QUALITY_r05_2m_p1024/_p256.json), so a fixed probe count that a
+    small library tunes well is guaranteed-stale at scale.  The 512
+    floor keeps every <=4096-list library at the old fixed-512 shipped
+    behavior (sub-512-list libraries probe ALL lists, like the
+    reference's 128-of-256 regime rounded up to exact — a measured
+    necessity: a 64-probe floor dropped the open-search cascade to
+    0/12 IDs on a 240-spectrum e2e corpus).  The 2048 ceiling bounds
+    scan traffic on >=65k-list (100M-row) libraries where probe depth
+    should become an explicit deployment choice.  An explicit positive
+    ``num_probe`` always wins (the reference semantics: a fixed nprobe
+    handed to FAISS, spectral_library.py:443-446)."""
+    if num_probe > 0:
+        return int(num_probe)
+    return int(min(max(512, num_list // 8), 2048, max(num_list, 1)))
+
+
 def ivf_build_params(
     n: int, num_list: int, redundancy: int, soar_lambda: float = 0.0
 ):
@@ -1487,7 +1514,12 @@ class IvfIndex:
         self.centroids = centroids
         self.padded_vectors = padded_vectors
         self.padded_ids = padded_ids
-        self.num_probe = num_probe
+        # num_probe <= 0 = size-aware auto (resolve_num_probe); every
+        # construction path (build / build_streaming / load) funnels
+        # through here so the resolved depth is what search sees.
+        self.num_probe = resolve_num_probe(
+            int(num_probe), padded_vectors.shape[0]
+        )
         # Copies stored per vector.  Search paths scan top-(R*k)
         # entries and rank-order-deduplicate ids (`_dedup_topk`).
         self.redundancy = max(1, int(redundancy))

@@ -5,12 +5,15 @@ BASELINE.md / notebooks/iprg2012_ann_hyperparameters.ipynb sweep grid):
 a synthetic iPRG2012-scale charge partition (131,072 library spectra,
 hash_len=800), open search +/-500 Da, IVF at the SHIPPED defaults --
 size-aware auto num_list (resolve_num_list: 13*sqrt(n) -> 4096 here,
-the SWEEP_r03 Pareto winner) / num_probe=256 (the QUALITY_r04 probe
-ladder's 0.97-candidate-recall point), precursor window fused
-into the scan mask, default list storage (override with
-ANN_SOLO_TPU_BENCH_DTYPE=bf16|int8), num_candidates=1024 per query,
-exact shifted-dot rescoring (charge 2 -> 3 shift lanes) of the full
-(B, C) candidate matrix on device, best-match selection.
+the SWEEP_r03 Pareto winner) / num_probe=512 (the size-aware auto
+depth at this scale -- the round-5 probe ladder's 0.9949-IDs-ratio
+point), precursor window fused into the scan mask, default list
+storage (override with ANN_SOLO_TPU_BENCH_DTYPE=bf16|int8),
+num_candidates=512 per query (the round-5 QUALITY ladder measured
+256/512/1024 IDs-identical; a secondary leg keeps 1024 for baseline
+comparability), exact shifted-dot rescoring (charge 2 -> 3 shift
+lanes) of the full (B, C) candidate matrix on device, best-match
+selection.
 
 The measured span is the full per-batch pipeline: query vectorization ->
 IVF candidate selection (fused window) -> fused device rescoring -> best

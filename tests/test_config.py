@@ -21,11 +21,12 @@ def test_defaults():
     assert config.bin_size == 0.04
     assert config.hash_len == 800
     assert config.num_list == 0  # 0 = size-aware auto (resolve_num_list)
-    # Retuned from the reference's 128 (QUALITY_r04 probe ladder: 256
-    # crosses 0.97 candidate recall at the auto num_list).
-    # 512 shipped in round 5: ann/bf 0.9949 at ~3% bench cost
-    # (QUALITY_r05_p512.json).
-    assert config.num_probe == 512
+    # 0 = size-aware auto (resolve_num_probe: num_list/8 in [512, 2048]).
+    # Reproduces the round-5 probe-ladder winner p=512 at the canonical
+    # scale (ann/bf 0.9949, QUALITY_r05_p512.json) and scales the depth
+    # with the library (QUALITY_r05_2m_* measured fixed depths stale
+    # at 2.1M rows).
+    assert config.num_probe == 0
     # int8 shipped after QUALITY_r04_int8 measured IDs/accuracy/recall
     # identical to bf16 at 1/4 the scan traffic.
     assert config.index_dtype == "int8"

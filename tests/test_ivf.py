@@ -43,6 +43,29 @@ def test_resolve_num_list_auto():
     assert resolve_num_list(0, 10**9) == 65536  # clamp ceiling
 
 
+def test_resolve_num_probe_auto():
+    """num_probe <= 0 selects num_list/8 in [64, 2048] (the measured
+    quality knee: QUALITY_r05_p512 at 200k, QUALITY_r05_2m_* at 2.1M);
+    explicit values pass through; auto never exceeds num_list."""
+    from ann_solo_tpu.index.ivf import resolve_num_probe
+
+    assert resolve_num_probe(128, 4096) == 128  # explicit wins
+    assert resolve_num_probe(0, 4096) == 512  # canonical-scale winner
+    assert resolve_num_probe(0, 16384) == 2048  # 2.1M-row auto depth
+    assert resolve_num_probe(0, 65536) == 2048  # traffic ceiling
+    assert resolve_num_probe(0, 256) == 256  # small library: probe all
+    assert resolve_num_probe(0, 16) == 16  # never past num_list
+    # The index resolves at construction: every build/load path ships
+    # the size-aware depth when the config leaves num_probe at 0.
+    lists = np.zeros((512, 4, 8), np.float32)
+    ids = np.full((512, 4), -1, np.int32)
+    index = IvfIndex(np.zeros((512, 8), np.float32), lists, ids, 0)
+    assert index.num_probe == 512
+    assert IvfIndex(
+        np.zeros((512, 8), np.float32), lists, ids, 100
+    ).num_probe == 100
+
+
 def test_kmeans_clusters_unit_sphere():
     rng = np.random.default_rng(3)
     vectors = _clustered_vectors(rng)
