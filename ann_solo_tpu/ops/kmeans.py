@@ -22,6 +22,57 @@ import numpy as np
 _BLOCK = 4096
 
 
+def blocked_assign_sums(vectors_padded, centroids):
+    """Per-cluster (sums (L, D), counts (L,)) of a zero-row-padded block
+    under nearest-centroid assignment, as blocked MXU matmuls.
+
+    This is the k-means accumulation step shared by the single-device
+    fit and the sharded trainer (parallel/sharded.sharded_kmeans_step):
+    a (B, L) masked one-hot assignment matrix per 4096-row block,
+    `onehot.T @ block` on the MXU -- a segment-sum would
+    scatter-serialize (measured on the sharded trainer: the
+    segment-sum formulation took 1,004 s of a 1,044 s born-sharded
+    2.1M-row build on one v5e chip; this formulation trains the same
+    subsample inside the 40 s single-chip build).  Zero-padded rows
+    carry weight 0 and contribute nothing.  Requires
+    ``vectors_padded.shape[0] % _BLOCK == 0``.
+    """
+    n_pad, d = vectors_padded.shape
+    l = centroids.shape[0]
+    starts = jnp.arange(0, n_pad, _BLOCK, dtype=jnp.int32)
+    cluster_iota = jnp.arange(l, dtype=jnp.int32)[None, :]
+
+    def body(carry, start):
+        sums, counts = carry
+        vec_block = jax.lax.dynamic_slice_in_dim(
+            vectors_padded, start, _BLOCK
+        )
+        scores = jnp.dot(
+            vec_block, centroids.T, preferred_element_type=jnp.float32
+        )
+        ids = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        # Zero-padded rows contribute nothing (row-norm mask).
+        w = (
+            jnp.sum(vec_block * vec_block, axis=1) > 0
+        ).astype(jnp.float32)
+        onehot = (
+            (ids[:, None] == cluster_iota).astype(jnp.float32)
+            * w[:, None]
+        )  # (B, L)
+        sums = sums + jnp.dot(
+            onehot.T, vec_block, preferred_element_type=jnp.float32
+        )
+        counts = counts + jnp.sum(onehot, axis=0)
+        return (sums, counts), None
+
+    (sums, counts), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((l, d), jnp.float32), jnp.zeros((l,), jnp.float32)),
+        starts,
+    )
+    return sums, counts
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _kmeans_fit(
     vectors_padded: jnp.ndarray,  # (N_pad, D) unit-norm, zero rows padded
@@ -38,9 +89,7 @@ def _kmeans_fit(
     (measured: a 2M x 800 f32 fit held 2 x 6.4 GB and OOMed the 4M-row
     streaming build's training step)."""
     n_pad, d = vectors_padded.shape
-    l = init_centroids.shape[0]
     starts = jnp.arange(0, n_pad, _BLOCK, dtype=jnp.int32)
-    cluster_iota = jnp.arange(l, dtype=jnp.int32)[None, :]
 
     def assign_block(vec_block, centroids):
         scores = jnp.dot(
@@ -49,33 +98,7 @@ def _kmeans_fit(
         return jnp.argmax(scores, axis=1).astype(jnp.int32)
 
     def step(_, centroids):
-        def body(carry, start):
-            sums, counts = carry
-            vec_block = jax.lax.dynamic_slice_in_dim(
-                vectors_padded, start, _BLOCK
-            )
-            ids = assign_block(vec_block, centroids)
-            # Zero-padded rows contribute nothing (row-norm mask).
-            w = (
-                jnp.sum(vec_block * vec_block, axis=1) > 0
-            ).astype(jnp.float32)
-            # Block sums/counts as one MXU matmul with the masked one-hot
-            # assignment matrix -- a segment-sum would scatter-serialize.
-            onehot = (
-                (ids[:, None] == cluster_iota).astype(jnp.float32)
-                * w[:, None]
-            )  # (B, L)
-            sums = sums + jnp.dot(
-                onehot.T, vec_block, preferred_element_type=jnp.float32
-            )
-            counts = counts + jnp.sum(onehot, axis=0)
-            return (sums, counts), None
-
-        (sums, counts), _ = jax.lax.scan(
-            body,
-            (jnp.zeros((l, d), jnp.float32), jnp.zeros((l,), jnp.float32)),
-            starts,
-        )
+        sums, counts = blocked_assign_sums(vectors_padded, centroids)
         counts = counts[:, None]
         new_centroids = sums / jnp.maximum(counts, 1.0)
         # Keep the previous centroid for empty clusters.

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from functools import partial
 from typing import Tuple
 
@@ -741,6 +742,7 @@ class ShardedIvfIndex:
         centroids=None,
         n_iter: int = 25,
         group_bytes: int = 1 << 30,
+        train_rows_cap: int = 1 << 21,
     ) -> "ShardedIvfIndex":
         """Build an index that is BORN sharded over the list axes
         WITHOUT the full (N, D) source block ever existing (BASELINE.md
@@ -782,6 +784,7 @@ class ShardedIvfIndex:
             ivf_build_params,
             plan_assignments,
             resolve_num_list,
+            resolve_num_probe,
             resolve_soar_lambda,
         )
         from ann_solo_tpu.ops.kmeans import assign_topk_blocked
@@ -808,11 +811,23 @@ class ShardedIvfIndex:
         r_eff, cap, n_choices = ivf_build_params(
             n, num_list, redundancy, soar_lambda
         )
+        t_phase = time.perf_counter()
+
+        def _phase(name):
+            nonlocal t_phase
+            now = time.perf_counter()
+            logger.info(
+                "sharded streaming build: %s %.1fs", name, now - t_phase
+            )
+            t_phase = now
+
         if centroids is None:
             centroids = cls._train_centroids_sharded(
-                mesh, get_rows, n, num_list, seed, n_iter
+                mesh, get_rows, n, num_list, seed, n_iter,
+                train_rows_cap=train_rows_cap,
             )
         centroids = np.asarray(centroids, np.float32)
+        _phase("train")
 
         # Assignment in fixed row blocks (bounded device memory; only
         # the (N, A) int32 choices accumulate on the host).  The SOAR
@@ -839,6 +854,7 @@ class ShardedIvfIndex:
             del rows
         choices = np.concatenate(ch_parts)
         del ch_parts
+        _phase("assign")
         round_choices = None
         if use_soar:
             round_choices = [np.concatenate(soar_parts)] + [None] * max(
@@ -860,11 +876,13 @@ class ShardedIvfIndex:
         keep = flat_slot >= 0
         ids_flat[flat_slot[keep]] = row_ids[keep]
         del flat_slot, row_ids
+        _phase("plan")
 
         lists_per_shard = num_list // lib_shards
         index = cls.__new__(cls)
         index._init_params(
-            mesh, int(config.num_probe), r_eff, lists_per_shard, cap, d,
+            mesh, resolve_num_probe(int(config.num_probe), num_list),
+            r_eff, lists_per_shard, cap, d,
             np.dtype(storage_dtype),
         )
         cap_s, d_s = index.cap, index.dim
@@ -921,6 +939,7 @@ class ShardedIvfIndex:
             ids_bufs.append(shard_ids_pad)
             prec_bufs.append(pr)
             del packed, scales
+        _phase("pack")
         index.vectors_s = _place_lib_blocks(
             mesh, vec_bufs, _list_spec(mesh, 2)
         )
@@ -941,32 +960,53 @@ class ShardedIvfIndex:
         index.centroids_s = jax.device_put(
             jnp.asarray(centroids), NamedSharding(mesh, P())
         )
+        _phase("place")
         return index
 
     @staticmethod
     def _train_centroids_sharded(
         mesh: Mesh, get_rows, n: int, num_list: int, seed: int,
-        n_iter: int,
+        n_iter: int, train_rows_cap: int = 1 << 21,
     ) -> np.ndarray:
         """Sharded spherical k-means on a FAISS-style subsample fetched
         through the row accessor (same subsample rows as the resident
-        build given the same seed)."""
-        from ann_solo_tpu.index.ivf import _TRAIN_POINTS_PER_CENTROID
+        build given the same seed).  ``train_rows_cap`` bounds the
+        device-resident subsample like `IvfIndex.build_streaming`'s
+        (a 16384-list build would otherwise fetch a 4.2M-row / 13 GB
+        f32 block)."""
+        from ann_solo_tpu.index.ivf import (
+            _TRAIN_POINTS_PER_CENTROID,
+            fetch_rows_blocked,
+        )
 
-        cap_train = num_list * _TRAIN_POINTS_PER_CENTROID
+        cap_train = min(
+            num_list * _TRAIN_POINTS_PER_CENTROID, train_rows_cap
+        )
         rng = np.random.RandomState(seed + 1)
         if n > cap_train:
             rows = np.sort(rng.choice(n, size=cap_train, replace=False))
         else:
             rows = np.arange(n)
-        train = np.asarray(
-            get_rows(jnp.asarray(rows.astype(np.int32))), np.float32
-        )
+        # The subsample stays a DEVICE array end to end: only the small
+        # (L, D) init block crosses the host boundary.  (The earlier
+        # np.asarray round-trip downloaded + re-uploaded the multi-GB
+        # block -- ~3.4 GB at the 2.1M/4096-list shape -- across the
+        # host link for nothing.)
+        t0 = time.perf_counter()
+        # Fetch in the assignment loop's 64k block shape so the
+        # accessor compiles once per build (ivf.fetch_rows_blocked).
+        train = fetch_rows_blocked(
+            get_rows, rows.astype(np.int32), block=1 << 16
+        ).astype(jnp.float32)
+        np.asarray(train[:1, :1])  # real sync (block_until_ready no-ops
+        # on the tunneled backend; only host materialization waits)
+        n_rows = int(train.shape[0])
+        t1 = time.perf_counter()
         rng_init = np.random.RandomState(seed)
         init_rows = rng_init.choice(
-            len(train), size=min(num_list, len(train)), replace=False
+            n_rows, size=min(num_list, n_rows), replace=False
         )
-        init = np.asarray(train[init_rows], np.float32)
+        init = np.array(train[jnp.asarray(init_rows)], np.float32)
         if len(init) < num_list:
             reps = -(-num_list // len(init))
             init = np.tile(init, (reps, 1))[:num_list]
@@ -976,23 +1016,29 @@ class ShardedIvfIndex:
         init /= np.maximum(
             np.linalg.norm(init, axis=1, keepdims=True), 1e-30
         )
+        t2 = time.perf_counter()
         # Zero-pad rows to the mesh size (zero rows carry weight 0).
-        n_pad = -(-len(train) // mesh.size) * mesh.size
-        if n_pad != len(train):
-            train = np.concatenate(
-                [train, np.zeros((n_pad - len(train), train.shape[1]),
-                                 train.dtype)]
-            )
+        n_pad = -(-n_rows // mesh.size) * mesh.size
+        if n_pad != n_rows:
+            train = jnp.pad(train, ((0, n_pad - n_rows), (0, 0)))
         train_s = jax.device_put(
-            jnp.asarray(train, jnp.float32),
+            train,
             NamedSharding(mesh, P(tuple(mesh.axis_names), None)),
         )
+        np.asarray(train_s[:1, :1])  # real sync (see above)
         init_s = jax.device_put(
             jnp.asarray(init), NamedSharding(mesh, P())
         )
-        return np.asarray(
+        t3 = time.perf_counter()
+        out = np.asarray(
             _sharded_kmeans_fit(mesh, train_s, init_s, n_iter)
         )
+        logger.info(
+            "sharded k-means train: gen %.1fs init %.1fs place %.1fs "
+            "fit %.1fs", t1 - t0, t2 - t1, t3 - t2,
+            time.perf_counter() - t3,
+        )
+        return out
 
     def search(
         self,
