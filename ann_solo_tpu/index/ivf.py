@@ -451,6 +451,36 @@ def ivf_build_params(
     return r_eff, cap, n_choices
 
 
+def fetch_rows_blocked(get_rows, idx, block: int = 1 << 16):
+    """Fetch ``idx`` rows through a streaming-build row accessor in
+    fixed ``block``-size calls and return ONE device array.
+
+    Streaming builds call the accessor from three places (train
+    subsample, assignment loop, pack gathers); fetching the subsample
+    in the assignment loop's exact ``(block,)`` shape means the
+    accessor traces/compiles once per build instead of once per
+    distinct fetch size (~13 s per extra cold program on the tunneled
+    dev backend, and the single full-subsample call this replaces was
+    a multi-GB one-shot device materialization at 16384-list shapes).
+    The tail block is padded by repeating the last index and trimmed
+    after the concat — accessors are pure functions of the row index
+    (``build_streaming``'s documented contract), so padding rows are
+    discarded unread.
+    """
+    idx = np.asarray(idx, np.int32)
+    n_rows = int(idx.shape[0])
+    parts = []
+    for start in range(0, n_rows, block):
+        sl = idx[start : start + block]
+        if sl.shape[0] < block:
+            sl = np.concatenate(
+                [sl, np.full(block - sl.shape[0], sl[-1], np.int32)]
+            )
+        parts.append(get_rows(jnp.asarray(sl)))
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return out[:n_rows]
+
+
 def resolve_soar_lambda(config) -> float:
     """SOAR residual-decorrelation weight for the secondary copy
     (``--soar_lambda``; 0 disables, restoring plain rank-2 assignment)."""
@@ -1851,7 +1881,10 @@ class IvfIndex:
                 ).astype(np.int32)
             else:
                 sub_idx = np.arange(n, dtype=np.int32)
-            sub = get_rows(jnp.asarray(sub_idx))
+            # Blocked fetch in the assignment loop's (1 << 18,) shape:
+            # one compiled accessor program per build, and no one-shot
+            # multi-GB fetch at large-subsample (16384-list) shapes.
+            sub = fetch_rows_blocked(get_rows, sub_idx, block=1 << 18)
             centroids, _ = spherical_kmeans(sub, num_list, seed=seed)
             del sub
         centroids = jnp.asarray(centroids, jnp.float32)
