@@ -451,6 +451,13 @@ def ivf_build_params(
     return r_eff, cap, n_choices
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _update_rows_donated(buf, part, start):
+    """In-place (donated) row-block write; one compiled program per
+    (buf, part) shape thanks to the traced start scalar."""
+    return jax.lax.dynamic_update_slice_in_dim(buf, part, start, 0)
+
+
 def fetch_rows_blocked(get_rows, idx, block: int = 1 << 16):
     """Fetch ``idx`` rows through a streaming-build row accessor in
     fixed ``block``-size calls and return ONE device array.
@@ -463,22 +470,34 @@ def fetch_rows_blocked(get_rows, idx, block: int = 1 << 16):
     dev backend, and the single full-subsample call this replaces was
     a multi-GB one-shot device materialization at 16384-list shapes).
     The tail block is padded by repeating the last index and trimmed
-    after the concat — accessors are pure functions of the row index
+    at the end — accessors are pure functions of the row index
     (``build_streaming``'s documented contract), so padding rows are
     discarded unread.
+
+    Blocks are written into ONE donated device buffer
+    (`dynamic_update_slice`), so peak device memory is the result
+    block plus a single fetch block — a `jnp.concatenate` of the parts
+    held the subsample TWICE and OOMed the 8.4M-row (2M-row-subsample,
+    6.4 GB f32) sharded build on a 16 GB chip.  When ``block`` divides
+    ``len(idx)`` (every capped multi-GB shape: caps and blocks are
+    powers of two) there is no trim copy at all.
     """
     idx = np.asarray(idx, np.int32)
     n_rows = int(idx.shape[0])
-    parts = []
-    for start in range(0, n_rows, block):
-        sl = idx[start : start + block]
-        if sl.shape[0] < block:
-            sl = np.concatenate(
-                [sl, np.full(block - sl.shape[0], sl[-1], np.int32)]
-            )
-        parts.append(get_rows(jnp.asarray(sl)))
-    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-    return out[:n_rows]
+    if n_rows <= block:
+        return get_rows(jnp.asarray(idx))
+    n_pad = -(-n_rows // block) * block
+    if n_pad != n_rows:
+        idx = np.concatenate(
+            [idx, np.full(n_pad - n_rows, idx[-1], np.int32)]
+        )
+    buf = None
+    for start in range(0, n_pad, block):
+        part = get_rows(jnp.asarray(idx[start : start + block]))
+        if buf is None:
+            buf = jnp.zeros((n_pad, part.shape[1]), part.dtype)
+        buf = _update_rows_donated(buf, part, jnp.int32(start))
+    return buf if n_pad == n_rows else buf[:n_rows]
 
 
 def resolve_soar_lambda(config) -> float:

@@ -214,3 +214,34 @@ def test_streaming_search_matches_oracle():
     ids_a = resident.search(queries, k=10)
     ids_b = streamed.search(queries, k=10)
     np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
+
+@pytest.mark.parametrize(
+    "n_rows,block", [(10, 4), (8, 4), (3, 8), (65, 16), (64, 16)]
+)
+def test_fetch_rows_blocked_parity(n_rows, block):
+    """Blocked accessor fetch == one-shot fetch for every tail shape.
+
+    The helper pads the tail block by repeating the last index and
+    writes blocks into one donated buffer; the result must equal a
+    single accessor call on the same indices (accessors are pure
+    functions of the row index — build_streaming's contract)."""
+    from ann_solo_tpu.index.ivf import fetch_rows_blocked
+
+    calls = []
+
+    def gen(idx):
+        calls.append(int(idx.shape[0]))
+        return idx[:, None].astype(jnp.float32) * jnp.arange(
+            5, dtype=jnp.float32
+        ) + 1.0
+
+    idx = np.arange(n_rows, dtype=np.int32)[::-1].copy()
+    out = np.asarray(fetch_rows_blocked(gen, idx, block=block))
+    ref = np.asarray(gen(jnp.asarray(idx)))
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(out, ref)
+    if n_rows > block:
+        # Every fetch ran at the fixed block shape (one compiled
+        # accessor program per build).
+        assert set(calls[:-1]) == {block}
